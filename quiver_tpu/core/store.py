@@ -1,0 +1,282 @@
+"""Columnar vector store — one HBM-resident matrix per collection.
+
+The reference keeps up to four copies of every vector (exact map, HNSW node,
+hybrid map, Collection.Vectors — reference: pkg/hybrid/hybrid_index.go:15-43,
+pkg/core/collection.go:98-117, see SURVEY.md §3.2). Here a collection owns
+exactly one store: a host-authoritative numpy mirror (for persistence and
+growth) plus a lazily-synced device view — ``vectors f32[cap, d]`` padded to a
+power-of-two capacity with a ``valid`` occupancy mask (deletes are cleared
+bits, the analogue of the reference's tombstones, pkg/hnsw/hnsw.go:741-842),
+and precomputed row stats so cosine/L2 scans skip the norm pass.
+
+Mutations accumulate as pending slot updates and are applied to the device
+arrays with one scatter per sync; capacity growth doubles and re-uploads.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass
+from typing import Iterable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quiver_tpu.ops.distance import inv_norms, norms_sq
+from quiver_tpu.types import DistanceType, VectorRecord
+
+_MIN_CAPACITY = 1024
+
+
+def _next_pow2(n: int) -> int:
+    c = _MIN_CAPACITY
+    while c < n:
+        c *= 2
+    return c
+
+
+@dataclass(frozen=True)
+class StoreDeviceView:
+    """Immutable device-side snapshot used by search kernels."""
+
+    vectors: jax.Array  # f32[cap, d]
+    valid: jax.Array  # bool[cap]
+    norms_sq: jax.Array  # f32[cap]
+    inv_norms: jax.Array  # f32[cap]
+    capacity: int
+    generation: int  # bumps on every sync; kernels key caches off this
+
+
+@jax.jit
+def _scatter_rows(vectors, valid, slots, new_vecs, new_valid):
+    vectors = vectors.at[slots].set(new_vecs)
+    valid = valid.at[slots].set(new_valid)
+    ns = norms_sq(vectors)
+    return vectors, valid, ns, inv_norms(ns)
+
+
+class VectorStore:
+    """Slot-addressed columnar vector + metadata store.
+
+    Thread-safety: a single re-entrant writer lock guards mutations; reads of
+    the device view are lock-free once synced (functional arrays can't race —
+    SURVEY.md §5.2).
+    """
+
+    def __init__(self, dim: int, metric: DistanceType | str = DistanceType.COSINE,
+                 capacity: int = _MIN_CAPACITY):
+        if dim <= 0:
+            raise ValueError(f"dimension must be positive, got {dim}")
+        self.dim = int(dim)
+        self.metric = DistanceType.parse(metric)
+        self._lock = threading.RLock()
+        cap = _next_pow2(capacity)
+        self._np_vectors = np.zeros((cap, dim), dtype=np.float32)
+        self._np_valid = np.zeros((cap,), dtype=bool)
+        self._ids: list[Optional[str]] = [None] * cap
+        self._metadata: list[Optional[dict]] = [None] * cap
+        self._id_to_slot: dict[str, int] = {}
+        self._free: list[int] = []
+        self._high_water = 0  # first never-used slot
+        self._count = 0
+        # device sync state
+        self._device: Optional[StoreDeviceView] = None
+        self._pending_slots: list[int] = []
+        self._full_resync = True
+        self._generation = 0
+
+    # ------------------------------------------------------------------ host
+
+    @property
+    def size(self) -> int:
+        return self._count
+
+    @property
+    def capacity(self) -> int:
+        return self._np_vectors.shape[0]
+
+    def __contains__(self, vec_id: str) -> bool:
+        return vec_id in self._id_to_slot
+
+    def slot_of(self, vec_id: str) -> int:
+        return self._id_to_slot[vec_id]
+
+    def id_of(self, slot: int) -> Optional[str]:
+        if 0 <= slot < len(self._ids):
+            return self._ids[slot]
+        return None
+
+    def get(self, vec_id: str) -> VectorRecord:
+        with self._lock:
+            slot = self._id_to_slot.get(vec_id)
+            if slot is None:
+                raise KeyError(f"vector not found: {vec_id}")
+            return VectorRecord(
+                id=vec_id,
+                values=self._np_vectors[slot].copy(),
+                metadata=self._metadata[slot],
+            )
+
+    def ids(self) -> list[str]:
+        return list(self._id_to_slot.keys())
+
+    def _alloc_slots(self, n: int) -> np.ndarray:
+        slots = []
+        while self._free and len(slots) < n:
+            slots.append(self._free.pop())
+        remaining = n - len(slots)
+        if remaining:
+            needed = self._high_water + remaining
+            if needed > self.capacity:
+                self._grow(needed)
+            slots.extend(range(self._high_water, self._high_water + remaining))
+            self._high_water += remaining
+        return np.asarray(slots, dtype=np.int64)
+
+    def _grow(self, needed: int) -> None:
+        new_cap = _next_pow2(needed)
+        old_cap = self.capacity
+        grown = np.zeros((new_cap, self.dim), dtype=np.float32)
+        grown[:old_cap] = self._np_vectors
+        self._np_vectors = grown
+        self._np_valid = np.concatenate(
+            [self._np_valid, np.zeros(new_cap - old_cap, dtype=bool)]
+        )
+        self._ids.extend([None] * (new_cap - old_cap))
+        self._metadata.extend([None] * (new_cap - old_cap))
+        self._full_resync = True
+
+    def add_batch(
+        self,
+        ids: Sequence[str],
+        vectors,
+        metadata: Optional[Sequence[Optional[dict]]] = None,
+    ) -> np.ndarray:
+        """Insert a batch; returns assigned slots. All-or-nothing validation."""
+        vecs = np.asarray(vectors, dtype=np.float32)
+        if vecs.ndim == 1:
+            vecs = vecs[None, :]
+        if vecs.shape != (len(ids), self.dim):
+            raise ValueError(
+                f"vector batch shape {vecs.shape} != ({len(ids)}, {self.dim})"
+            )
+        if metadata is None:
+            metadata = [None] * len(ids)
+        if len(metadata) != len(ids):
+            raise ValueError("metadata length mismatch")
+        with self._lock:
+            seen = set()
+            for vid in ids:
+                if not vid:
+                    raise ValueError("vector ID must not be empty")
+                if vid in self._id_to_slot or vid in seen:
+                    raise ValueError(f"vector with ID {vid} already exists")
+                seen.add(vid)
+            slots = self._alloc_slots(len(ids))
+            self._np_vectors[slots] = vecs
+            self._np_valid[slots] = True
+            for s, vid, md in zip(slots, ids, metadata):
+                self._ids[s] = vid
+                self._metadata[s] = md
+                self._id_to_slot[vid] = int(s)
+            self._count += len(ids)
+            self._pending_slots.extend(int(s) for s in slots)
+            return slots
+
+    def add(self, vec_id: str, vector, metadata: Optional[dict] = None) -> int:
+        return int(self.add_batch([vec_id], [vector], [metadata])[0])
+
+    def update_batch(
+        self,
+        ids: Sequence[str],
+        vectors=None,
+        metadata: Optional[Sequence[Optional[dict]]] = None,
+    ) -> None:
+        """In-place update (reference Update = delete+reinsert,
+        pkg/core/collection.go:417-466; slot stability lets us do better)."""
+        with self._lock:
+            slots = []
+            for vid in ids:
+                if vid not in self._id_to_slot:
+                    raise KeyError(f"vector not found: {vid}")
+                slots.append(self._id_to_slot[vid])
+            if vectors is not None:
+                vecs = np.asarray(vectors, dtype=np.float32)
+                if vecs.ndim == 1:
+                    vecs = vecs[None, :]
+                if vecs.shape != (len(ids), self.dim):
+                    raise ValueError("update vector shape mismatch")
+                self._np_vectors[slots] = vecs
+                self._pending_slots.extend(slots)
+            if metadata is not None:
+                for s, md in zip(slots, metadata):
+                    self._metadata[s] = md
+
+    def delete(self, vec_id: str) -> bool:
+        return self.delete_batch([vec_id]) == 1
+
+    def delete_batch(self, ids: Iterable[str]) -> int:
+        with self._lock:
+            removed = 0
+            for vid in ids:
+                slot = self._id_to_slot.pop(vid, None)
+                if slot is None:
+                    continue
+                self._np_valid[slot] = False
+                self._np_vectors[slot] = 0.0
+                self._ids[slot] = None
+                self._metadata[slot] = None
+                self._free.append(slot)
+                self._pending_slots.append(slot)
+                removed += 1
+            self._count -= removed
+            return removed
+
+    def metadata_of_slot(self, slot: int) -> Optional[dict]:
+        return self._metadata[slot]
+
+    def vector_of_slot(self, slot: int) -> np.ndarray:
+        return self._np_vectors[slot]
+
+    def snapshot(self):
+        """(ids, vectors f32[n,d], metadata) of live rows, slot-ordered —
+        the persistence source of truth (SURVEY.md §5.4)."""
+        with self._lock:
+            live = np.flatnonzero(self._np_valid)
+            ids = [self._ids[s] for s in live]
+            mds = [self._metadata[s] for s in live]
+            return ids, self._np_vectors[live].copy(), mds
+
+    # ---------------------------------------------------------------- device
+
+    def device_view(self) -> StoreDeviceView:
+        """Sync pending mutations to the device and return the view."""
+        with self._lock:
+            if self._device is None or self._full_resync:
+                vecs = jnp.asarray(self._np_vectors)
+                valid = jnp.asarray(self._np_valid)
+                ns = norms_sq(vecs)
+                self._generation += 1
+                self._device = StoreDeviceView(
+                    vecs, valid, ns, inv_norms(ns), self.capacity, self._generation
+                )
+                self._full_resync = False
+                self._pending_slots.clear()
+            elif self._pending_slots:
+                slots = np.unique(np.asarray(self._pending_slots, dtype=np.int64))
+                new_vecs = jnp.asarray(self._np_vectors[slots])
+                new_valid = jnp.asarray(self._np_valid[slots])
+                v, va, ns, inv = _scatter_rows(
+                    self._device.vectors,
+                    self._device.valid,
+                    jnp.asarray(slots),
+                    new_vecs,
+                    new_valid,
+                )
+                self._generation += 1
+                self._device = StoreDeviceView(
+                    v, va, ns, inv, self.capacity, self._generation
+                )
+                self._pending_slots.clear()
+            return self._device

@@ -1,0 +1,115 @@
+"""Exact (brute-force) index over a columnar store.
+
+TPU-native replacement for the reference's ``ExactIndex`` map-walk + sort
+(reference: pkg/hybrid/exact.go:14-133). Search is one jitted tiled-matmul
+scan with fused masking and on-chip top-k (ops/scan.py); recall is 1.0 by
+construction, so this index doubles as the oracle for every approximate
+engine's tests (SURVEY.md §4 "exact-distance oracle").
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from quiver_tpu.core.store import VectorStore
+from quiver_tpu.ops.scan import flat_scan_topk, negative_rerank
+from quiver_tpu.types import DistanceType
+
+
+class ExactIndex:
+    """Flat-scan index; shares the collection's VectorStore (no extra copy)."""
+
+    name = "exact"
+
+    def __init__(
+        self,
+        store: VectorStore,
+        *,
+        tile: int = 8192,
+        compute_dtype=jnp.float32,
+        approx_recall: float | None = None,
+    ):
+        """approx_recall=None gives guaranteed-exact top-k (the oracle path);
+        a float in (0, 1] switches to the TPU-native approx_max_k partial
+        reduce at that recall target (~2x faster at corpus scale)."""
+        self.store = store
+        self.tile = tile
+        self.compute_dtype = compute_dtype
+        self.approx_recall = approx_recall
+
+    @property
+    def size(self) -> int:
+        return self.store.size
+
+    def search_slots(
+        self,
+        queries: np.ndarray,
+        k: int,
+        *,
+        mask=None,
+        negative: Optional[np.ndarray] = None,
+        negative_weight: float = 0.5,
+    ):
+        """Batched top-k over slots.
+
+        Args:
+          queries: f32[B, d].
+          k: result count (per query).
+          mask: optional bool[cap] or bool[B, cap] device facet mask.
+          negative: optional f32[B, d] negative examples; when present the
+            scan over-retrieves max(2k, 30) and reranks by
+            d_query - weight * d_negative (reference: pkg/hybrid/
+            hybrid_index.go:516-570).
+
+        Returns:
+          (dist f32[B, k], slots i32[B, k]) numpy arrays; empty slots are -1.
+        """
+        view = self.store.device_view()
+        q = jnp.asarray(np.asarray(queries, dtype=np.float32))
+        if q.ndim == 1:
+            q = q[None, :]
+        tile = min(self.tile, view.capacity)
+        retrieve_k = k if negative is None else max(2 * k, 30)
+        retrieve_k = min(retrieve_k, view.capacity)
+        dist, idx = flat_scan_topk(
+            q,
+            view.vectors,
+            view.valid,
+            mask,
+            view.norms_sq,
+            view.inv_norms,
+            metric=self.store.metric.value,
+            k=retrieve_k,
+            tile=tile,
+            compute_dtype=self.compute_dtype,
+            approx_recall=self.approx_recall,
+        )
+        if negative is not None:
+            neg = jnp.asarray(np.asarray(negative, dtype=np.float32))
+            if neg.ndim == 1:
+                neg = jnp.broadcast_to(neg[None, :], (q.shape[0], q.shape[1]))
+            dist, idx = negative_rerank(
+                dist,
+                idx,
+                view.vectors,
+                neg,
+                metric=self.store.metric.value,
+                k=min(k, retrieve_k),
+                weight=negative_weight,
+            )
+        return np.asarray(dist), np.asarray(idx)
+
+    def search(self, query, k: int, **kw):
+        """Single-query convenience -> list[(id, distance)]."""
+        dist, idx = self.search_slots(np.asarray(query, np.float32)[None, :], k, **kw)
+        out = []
+        for d, s in zip(dist[0], idx[0]):
+            if s < 0:
+                continue
+            vid = self.store.id_of(int(s))
+            if vid is not None:
+                out.append((vid, float(d)))
+        return out
