@@ -52,6 +52,7 @@ class ExactIndex:
         mask=None,
         negative: Optional[np.ndarray] = None,
         negative_weight: float = 0.5,
+        exact: bool = False,  # engine-selection hint; this engine is exact
     ):
         """Batched top-k over slots.
 
