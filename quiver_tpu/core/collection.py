@@ -93,6 +93,10 @@ class Collection:
         self.engine = engine_factory(self.store)
         self._lock = threading.RLock()
         self._write_listeners: list[Callable[[str], None]] = []
+        #: optional WAL sink (persistence.WalWriter) set by the DB layer;
+        #: unlike the reference — whose main collection never WALs its writes
+        #: (SURVEY.md §2.14 note) — every mutation is journaled here.
+        self.wal = None
 
     # ------------------------------------------------------------ listeners
 
@@ -140,6 +144,9 @@ class Collection:
             self.facets.index_rows(slots, metadatas)
             if hasattr(self.engine, "on_insert"):
                 self.engine.on_insert(slots, vecs)
+            if self.wal is not None:
+                for vid, vec, md in zip(ids, vecs, metadatas):
+                    self.wal.append("add", vid, vector=vec, metadata=md)
         ms = (time.perf_counter() - t0) * 1e3
         if len(ids) == 1:
             metrics.record_insert(self.name, ms)
@@ -206,6 +213,13 @@ class Collection:
                 self.facets.index_rows(slots, metadatas)
             if vectors is not None and hasattr(self.engine, "on_update"):
                 self.engine.on_update(np.asarray(slots), as_f32_matrix(vectors, self.dim))
+            if self.wal is not None:
+                for vid, slot in zip(ids, slots):
+                    self.wal.append(
+                        "add", vid,
+                        vector=self.store.vector_of_slot(slot),
+                        metadata=self.store.metadata_of_slot(slot),
+                    )
         self._notify_write()
 
     def delete(self, vec_id: str) -> bool:
@@ -215,10 +229,14 @@ class Collection:
         with self._lock:
             ids = list(ids)
             slots = [self.store.slot_of(i) for i in ids if i in self.store]
+            deletable = [i for i in ids if i in self.store]
             n = self.store.delete_batch(ids)
             self.facets.clear_rows(slots)
             if hasattr(self.engine, "on_delete"):
                 self.engine.on_delete(np.asarray(slots))
+            if self.wal is not None:
+                for vid in deletable:
+                    self.wal.append("delete", vid)
         metrics = global_metrics()
         metrics.record_delete(self.name, n)
         metrics.set_index_size(self.name, self.store.size)

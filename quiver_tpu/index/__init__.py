@@ -1,0 +1,37 @@
+"""Index engines.
+
+Engine protocol (duck-typed, the TPU analogue of the reference's core.Index
+interface, pkg/core/collection.go:78-87):
+
+  search_slots(queries f32[B,d], k, *, mask=None, negative=None,
+               negative_weight=0.5, exact=False) -> (dist f32[B,k], slots i32[B,k])
+  size -> int
+  name -> str
+  on_insert(slots, vectors) / on_update(slots, vectors) / on_delete(slots)
+      (optional write hooks for engines that maintain derived state)
+"""
+
+from __future__ import annotations
+
+from quiver_tpu.index.exact import ExactIndex
+
+_ENGINES = {"exact": ExactIndex}
+
+
+def register_engine(name: str, factory) -> None:
+    _ENGINES[name] = factory
+
+
+def make_engine(kind: str, store, **cfg):
+    """Build an engine over a VectorStore. kinds: exact | hnsw | hybrid."""
+    if kind in _ENGINES:
+        return _ENGINES[kind](store, **cfg)
+    if kind == "hnsw":
+        from quiver_tpu.index.hnsw import HNSWIndex
+
+        return HNSWIndex(store, **cfg)
+    if kind == "hybrid":
+        from quiver_tpu.index.hybrid import HybridIndex
+
+        return HybridIndex(store, **cfg)
+    raise ValueError(f"unknown index engine: {kind!r}")

@@ -1,0 +1,322 @@
+"""Persistence manager — snapshot flush loop, WAL, backup/restore.
+
+Parity with the reference's ``persistence.Manager`` (reference:
+pkg/persistence/manager.go:78-662): per-collection ``config.json`` +
+``vectors.parquet`` snapshots (JSON fallback on Parquet failure,
+manager.go:320-328), a JSON-lines WAL between flushes (manager.go:39-59,
+458-507), background flush on a ticker (manager.go:136-148), and
+backup/restore as a recursive copy skipping ``.wal`` (manager.go:510-617).
+
+Improvements over the reference, on purpose:
+* the distance metric is stored as an enum string, fixing the hardcoded
+  "cosine" reload bug (pkg/core/db.go:266-270);
+* WAL replay honors deletes (the reference logs but never replays them,
+  manager.go:442-455, which can resurrect vectors after a crash).
+
+Vectors are the source of truth; index topology is derived and rebuilt on
+load (the reference never persists topology either — SURVEY.md §5.4). An
+optional topology sidecar (HNSW CSR arrays) can skip the rebuild.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import threading
+import time
+from dataclasses import asdict, dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+
+from quiver_tpu.observability import logging as qlog
+from quiver_tpu.persistence.parquet_io import (
+    read_vectors_json,
+    read_vectors_parquet,
+    safe_write_file,
+    write_vectors_json,
+    write_vectors_parquet,
+)
+
+CONFIG_VERSION = 1
+
+
+@dataclass
+class CollectionConfig:
+    """Persisted collection config (reference CollectionConfig,
+    manager.go:14-27) — with the metric stored as an enum string."""
+
+    name: str
+    dimension: int
+    distance_func: str
+    created_at: float = field(default_factory=time.time)
+    facet_fields: list[str] = field(default_factory=list)
+    version: int = CONFIG_VERSION
+
+    def to_json(self) -> bytes:
+        return json.dumps(asdict(self), indent=2).encode()
+
+    @classmethod
+    def from_json(cls, data: bytes) -> "CollectionConfig":
+        d = json.loads(data)
+        return cls(
+            name=d["name"],
+            dimension=d["dimension"],
+            distance_func=d["distance_func"],
+            created_at=d.get("created_at", time.time()),
+            facet_fields=d.get("facet_fields", []),
+            version=d.get("version", CONFIG_VERSION),
+        )
+
+
+class WalWriter:
+    """Append-only JSON-lines WAL (reference WalEntry + appendWal,
+    manager.go:39-59, 458-485)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._lock = threading.Lock()
+
+    def append(self, entry_type: str, vec_id: str,
+               vector: Optional[np.ndarray] = None,
+               metadata: Optional[dict] = None) -> None:
+        entry = {
+            "timestamp": time.time(),
+            "type": entry_type,
+            "vector_id": vec_id,
+        }
+        if vector is not None:
+            entry["vector"] = np.asarray(vector, np.float32).tolist()
+        if metadata is not None:
+            entry["metadata"] = metadata
+        line = json.dumps(entry, separators=(",", ":")) + "\n"
+        with self._lock:
+            with open(self.path, "a") as f:
+                f.write(line)
+                f.flush()
+                os.fsync(f.fileno())
+
+
+def read_wal(path: str) -> list[dict]:
+    entries = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                entries.append(json.loads(line))
+            except json.JSONDecodeError:
+                # torn tail write after a crash: stop at the first bad line
+                break
+    return entries
+
+
+class PersistenceManager:
+    """Flush loop + WAL + backup/restore over a storage root."""
+
+    def __init__(
+        self,
+        root: str,
+        *,
+        flush_interval_s: float = 300.0,
+        get_collection: Optional[Callable[[str], object]] = None,
+    ):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self.flush_interval_s = flush_interval_s
+        self.get_collection = get_collection
+        self._dirty: set[str] = set()
+        self._dirty_lock = threading.Lock()
+        self._wals: dict[str, WalWriter] = {}
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    # ------------------------------------------------------------ lifecycle
+
+    def start(self) -> None:
+        if self._thread is None and self.flush_interval_s > 0:
+            self._thread = threading.Thread(
+                target=self._background_flush, daemon=True,
+                name="quiver-flush")
+            self._thread.start()
+
+    def stop(self) -> None:
+        """Final flush then stop (reference Stop, manager.go:151-164)."""
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+        self.flush_dirty()
+
+    def _background_flush(self) -> None:
+        while not self._stop.wait(self.flush_interval_s):
+            try:
+                self.flush_dirty()
+            except Exception as e:  # pragma: no cover - keep the loop alive
+                qlog.error("background flush failed", error=str(e))
+
+    # ----------------------------------------------------------------- dirty
+
+    def mark_dirty(self, name: str) -> None:
+        with self._dirty_lock:
+            self._dirty.add(name)
+
+    def flush_dirty(self) -> None:
+        with self._dirty_lock:
+            dirty = list(self._dirty)
+            self._dirty.clear()
+        for name in dirty:
+            coll = self.get_collection(name) if self.get_collection else None
+            if coll is not None:
+                self.flush_collection(coll)
+
+    # ------------------------------------------------------------------ wal
+
+    def wal(self, name: str) -> WalWriter:
+        if name not in self._wals:
+            self._wals[name] = WalWriter(self._wal_path(name))
+        return self._wals[name]
+
+    def _wal_path(self, name: str) -> str:
+        return os.path.join(self.root, name, f"{name}.wal")
+
+    def truncate_wal(self, name: str) -> None:
+        """Delete WAL after a successful flush (manager.go:488-507)."""
+        try:
+            os.remove(self._wal_path(name))
+        except FileNotFoundError:
+            pass
+
+    # ---------------------------------------------------------------- paths
+
+    def collection_dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def list_collections(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isfile(os.path.join(self.root, d, "config.json"))
+        )
+
+    # ---------------------------------------------------------------- flush
+
+    def save_config(self, cfg: CollectionConfig) -> None:
+        cdir = self.collection_dir(cfg.name)
+        os.makedirs(cdir, exist_ok=True)
+        safe_write_file(os.path.join(cdir, "config.json"), cfg.to_json())
+
+    def load_config(self, name: str) -> CollectionConfig:
+        with open(os.path.join(self.collection_dir(name), "config.json"), "rb") as f:
+            return CollectionConfig.from_json(f.read())
+
+    def flush_collection(self, collection) -> None:
+        """Snapshot a collection (reference FlushCollection,
+        manager.go:267-351): vectors.parquet (JSON fallback) + config.json,
+        then truncate the WAL."""
+        name = collection.name
+        cdir = self.collection_dir(name)
+        os.makedirs(cdir, exist_ok=True)
+        ids, vectors, metadatas = collection.store.snapshot()
+        pq_path = os.path.join(cdir, "vectors.parquet")
+        try:
+            write_vectors_parquet(pq_path, ids, vectors, metadatas)
+            # a stale JSON fallback from an earlier failure would shadow
+            # fresher parquet data on load — remove it
+            try:
+                os.remove(os.path.join(cdir, "vectors.json"))
+            except FileNotFoundError:
+                pass
+        except Exception as e:
+            qlog.warn("parquet write failed; falling back to JSON",
+                      collection=name, error=str(e))
+            write_vectors_json(os.path.join(cdir, "vectors.json"),
+                               ids, vectors, metadatas)
+        self.save_config(
+            CollectionConfig(
+                name=name,
+                dimension=collection.dim,
+                distance_func=collection.metric.value,
+                created_at=collection.created_at,
+                facet_fields=collection.get_facet_fields(),
+            )
+        )
+        self.truncate_wal(name)
+
+    # ----------------------------------------------------------------- load
+
+    def load_collection_data(self, name: str):
+        """-> (ids, vectors, metadatas) merged snapshot + WAL replay
+        (reference LoadCollection, manager.go:354-425). WAL wins over the
+        snapshot; deletes are honored."""
+        cdir = self.collection_dir(name)
+        pq_path = os.path.join(cdir, "vectors.parquet")
+        js_path = os.path.join(cdir, "vectors.json")
+        ids: list[str] = []
+        vectors = np.zeros((0, 0), np.float32)
+        metadatas: list[Optional[dict]] = []
+        if os.path.exists(pq_path):
+            try:
+                ids, vectors, metadatas = read_vectors_parquet(pq_path)
+            except Exception as e:
+                qlog.warn("parquet read failed; trying JSON",
+                          collection=name, error=str(e))
+                if os.path.exists(js_path):
+                    ids, vectors, metadatas = read_vectors_json(js_path)
+        elif os.path.exists(js_path):
+            ids, vectors, metadatas = read_vectors_json(js_path)
+
+        wal_path = self._wal_path(name)
+        if os.path.exists(wal_path):
+            by_id = {i: (v, m) for i, v, m in zip(ids, vectors, metadatas)}
+            for entry in read_wal(wal_path):
+                et = entry.get("type")
+                vid = entry.get("vector_id")
+                if et == "add" and "vector" in entry:
+                    by_id[vid] = (
+                        np.asarray(entry["vector"], np.float32),
+                        entry.get("metadata"),
+                    )
+                elif et == "delete":
+                    by_id.pop(vid, None)
+            ids = list(by_id.keys())
+            if ids:
+                vectors = np.stack([by_id[i][0] for i in ids])
+                metadatas = [by_id[i][1] for i in ids]
+            else:
+                vectors = np.zeros((0, vectors.shape[1] if vectors.ndim == 2 else 0), np.float32)
+                metadatas = []
+        return ids, vectors, metadatas
+
+    # --------------------------------------------------------- backup/restore
+
+    def backup(self, dest: str) -> None:
+        """Recursive copy of the storage tree, skipping WALs
+        (reference backupDirectory, manager.go:510-586). Call flush first."""
+        os.makedirs(dest, exist_ok=True)
+        for dirpath, _dirnames, filenames in os.walk(self.root):
+            rel = os.path.relpath(dirpath, self.root)
+            out_dir = os.path.join(dest, rel) if rel != "." else dest
+            os.makedirs(out_dir, exist_ok=True)
+            for fn in filenames:
+                if fn.endswith(".wal") or fn.endswith(".tmp"):
+                    continue
+                shutil.copy2(os.path.join(dirpath, fn), os.path.join(out_dir, fn))
+
+    def restore(self, src: str) -> None:
+        """Replace the storage tree with a backup (reference RestoreDatabase,
+        db.go:462-520)."""
+        if not os.path.isdir(src):
+            raise FileNotFoundError(f"backup directory not found: {src}")
+        if os.path.isdir(self.root):
+            shutil.rmtree(self.root)
+        shutil.copytree(src, self.root)
+
+    def delete_collection_dir(self, name: str) -> None:
+        cdir = self.collection_dir(name)
+        if os.path.isdir(cdir):
+            shutil.rmtree(cdir)
+        self._wals.pop(name, None)
