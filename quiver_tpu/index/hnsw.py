@@ -1,0 +1,474 @@
+"""HNSW engine — HBM-resident fixed-degree CSR graph, batched build + query.
+
+TPU-native redesign of the reference's two HNSW implementations (pointer
+graph: pkg/hnsw/hnsw.go; Arrow-columnar: pkg/arrowindex/graph.go — this
+design extends the latter's columnar direction to its conclusion,
+SURVEY.md §2.9):
+
+* adjacency is a fixed-degree CSR matrix per layer (i32[n, deg], -1 padded)
+  living in HBM next to the vector matrix — no pointers, no locks;
+* queries run as ONE batched beam-search program (ops/hnsw_kernels.py)
+  instead of goroutine-per-query fan-out (pkg/hnsw/adapter.go:238-290);
+* construction is level-synchronous and batched: a whole insert batch
+  searches the frozen current graph at once, neighbor selection runs the
+  hnswlib diversity heuristic as a vectorized kernel, reverse edges append
+  with overflow groups re-pruned in one batched call (the main algorithmic
+  novelty vs the reference's per-node locking — SURVEY.md §7 hard part 2);
+* level assignment uses a seeded PRNG (geometric, p=0.25, cap 16 — matching
+  reference defaults hnsw.go:16-25, 716-738) so builds are REPRODUCIBLE,
+  which the reference explicitly could not promise under concurrency
+  (hnsw_property_test.go:334-339);
+* deletes are tombstones (valid-mask) with entry-point re-election
+  (hnsw.go:741-842) and the under-fill exact-scan supplement on query
+  (hnsw.go:676-710).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quiver_tpu.core.store import VectorStore
+from quiver_tpu.index.exact import ExactIndex
+from quiver_tpu.ops.hnsw_kernels import beam_search, greedy_descent, select_neighbors
+from quiver_tpu.ops.scan import MASKED_DIST, negative_rerank
+
+
+@dataclass
+class HNSWConfig:
+    """Defaults mirror the reference (hnsw.go:16-25, 219-250)."""
+
+    m: int = 16  # upper-layer degree
+    m0: int = 32  # layer-0 degree (2*M)
+    ef_construction: int = 200
+    ef_search: int = 100
+    max_level: int = 16
+    level_prob: float = 0.25
+    build_batch: int = 1024
+    seed: int = 42
+
+
+class _Layer:
+    """One upper layer: compacted node list + fixed-degree adjacency."""
+
+    def __init__(self, deg: int, capacity: int):
+        self.deg = deg
+        self.nodes = np.zeros(0, np.int32)  # global slots, append order
+        self.adj = np.zeros((0, deg), np.int32)  # -1 padded
+        self.pos = np.full(capacity, -1, np.int32)  # global slot -> row
+
+    def add_nodes(self, slots: np.ndarray) -> None:
+        base = len(self.nodes)
+        self.nodes = np.concatenate([self.nodes, slots.astype(np.int32)])
+        self.adj = np.concatenate(
+            [self.adj, np.full((len(slots), self.deg), -1, np.int32)]
+        )
+        self.pos[slots] = base + np.arange(len(slots), dtype=np.int32)
+
+    def grow_capacity(self, capacity: int) -> None:
+        extra = capacity - len(self.pos)
+        if extra > 0:
+            self.pos = np.concatenate([self.pos, np.full(extra, -1, np.int32)])
+
+    def remove_nodes(self, slots: np.ndarray) -> None:
+        # tombstone: keep the row (queries skip invalid ids via the valid
+        # mask); forget the mapping so future re-inserts get fresh rows
+        self.pos[slots] = -1
+
+
+class HNSWIndex:
+    """Graph engine over a shared VectorStore."""
+
+    name = "hnsw"
+
+    def __init__(
+        self,
+        store: VectorStore,
+        *,
+        config: Optional[HNSWConfig] = None,
+        compute_dtype=jnp.float32,
+        **cfg_overrides,
+    ):
+        self.store = store
+        self.config = config or HNSWConfig(**cfg_overrides)
+        self.compute_dtype = compute_dtype
+        cap = store.capacity
+        c = self.config
+        self.layer0 = _Layer(c.m0, cap)
+        self.layers: list[_Layer] = []  # index l-1 == level l
+        self.node_level = np.full(cap, -1, np.int16)
+        self.entry_point = -1
+        self.current_max_level = -1
+        self._rng = np.random.default_rng(c.seed)
+        self._exact = ExactIndex(store, compute_dtype=compute_dtype)
+        # device cache
+        self._dev_gen = -1
+        self._graph_version = 0
+        self._dev = None
+
+    # ------------------------------------------------------------ properties
+
+    @property
+    def size(self) -> int:
+        return self.store.size
+
+    def _metric(self) -> str:
+        return self.store.metric.value
+
+    # ------------------------------------------------------------- write API
+
+    def on_insert(self, slots: np.ndarray, vectors: np.ndarray) -> None:
+        self._grow_capacity()
+        bb = self.config.build_batch
+        for i in range(0, len(slots), bb):
+            self._insert_batch(
+                np.asarray(slots[i : i + bb], np.int32),
+                np.asarray(vectors[i : i + bb], np.float32),
+            )
+        self._dirty()
+
+    def on_update(self, slots: np.ndarray, vectors: np.ndarray) -> None:
+        """Vector changed -> stale edges; reference Update is
+        delete+reinsert (collection.go:417-466) — same here."""
+        self.on_delete(slots)
+        self.on_insert(slots, vectors)
+
+    def on_delete(self, slots: np.ndarray) -> None:
+        slots = np.asarray(slots, np.int32)
+        if len(slots) == 0:
+            return
+        self.node_level[slots] = -1
+        self.layer0.remove_nodes(slots)
+        for layer in self.layers:
+            layer.remove_nodes(slots)
+        if self.entry_point in set(int(s) for s in slots):
+            self._reelect_entry()
+        self._dirty()
+
+    def _reelect_entry(self) -> None:
+        """Entry-point re-election after a delete (hnsw.go:797-830)."""
+        self.entry_point = -1
+        self.current_max_level = -1
+        live = self.node_level >= 0
+        if not live.any():
+            return
+        lvl = int(self.node_level[live].max())
+        cands = np.flatnonzero(live & (self.node_level == lvl))
+        self.entry_point = int(cands[0])
+        self.current_max_level = lvl
+
+    def _grow_capacity(self) -> None:
+        cap = self.store.capacity
+        if len(self.node_level) < cap:
+            extra = cap - len(self.node_level)
+            self.node_level = np.concatenate(
+                [self.node_level, np.full(extra, -1, np.int16)]
+            )
+            # layer0 pos array is dense over capacity
+            old = self.layer0
+            self.layer0.grow_capacity(cap)
+            for layer in self.layers:
+                layer.grow_capacity(cap)
+
+    # ---------------------------------------------------------------- build
+
+    def _sample_levels(self, n: int) -> np.ndarray:
+        """Geometric level sampling, p per level, capped (hnsw.go:716-738)."""
+        u = self._rng.random((n, self.config.max_level))
+        succ = u < self.config.level_prob
+        # level = number of leading successes (geometric, capped)
+        first_fail = np.argmin(succ, axis=1)
+        levels = np.where(succ.all(axis=1), self.config.max_level, first_fail)
+        return levels.astype(np.int16)
+
+    def _ensure_layers(self, max_lvl: int) -> None:
+        while len(self.layers) < max_lvl:
+            self.layers.append(_Layer(self.config.m, self.store.capacity))
+
+    def _layer(self, level: int) -> _Layer:
+        return self.layer0 if level == 0 else self.layers[level - 1]
+
+    def _insert_batch(self, slots: np.ndarray, vecs: np.ndarray) -> None:
+        c = self.config
+        levels = self._sample_levels(len(slots))
+        self.node_level[slots] = levels
+        self._ensure_layers(int(levels.max(initial=0)))
+        for l in range(int(levels.max(initial=0)) + 1):
+            members = slots[levels >= l]
+            self._layer(l).add_nodes(members)
+
+        if self.entry_point < 0:
+            self._bootstrap(slots, vecs, levels)
+            return
+
+        dev = self.store.device_view()
+        q = jnp.asarray(vecs)
+        B = len(slots)
+        entries = jnp.full((B,), self.entry_point, jnp.int32)
+
+        # greedy descent through layers above each node's level, then beam
+        # search + connect at each layer <= node level (hnsw.go:337-468),
+        # batched level-synchronously over the whole insert batch.
+        for l in range(self.current_max_level, -1, -1):
+            layer = self._layer(l)
+            adj_dev = jnp.asarray(layer.adj) if len(layer.adj) else jnp.full((1, layer.deg), -1, jnp.int32)
+            pos_dev = jnp.asarray(layer.pos)
+            connect_here = levels >= l
+            if not connect_here.any():
+                # pure routing layer for this batch
+                _, entries = greedy_descent(
+                    q, entries, dev.vectors, dev.valid, adj_dev, pos_dev,
+                    metric=self._metric(), compute_dtype=self.compute_dtype,
+                )
+                continue
+            ef = max(c.ef_construction, c.m0 if l == 0 else c.m)
+            cand_d, cand_i = beam_search(
+                q, entries, dev.vectors, dev.valid, adj_dev, pos_dev,
+                metric=self._metric(), ef=ef,
+                max_iters=int(1.5 * ef) + 8,
+                compute_dtype=self.compute_dtype,
+            )
+            deg = layer.deg
+            sel_i, sel_d = select_neighbors(
+                q, cand_i, cand_d, dev.vectors,
+                metric=self._metric(), m=deg,
+                compute_dtype=self.compute_dtype,
+            )
+            sel_np = np.asarray(sel_i)
+            # exclude nodes that don't belong to this layer and batch-mates
+            # (batch nodes aren't in the frozen graph being searched, so
+            # sel can't contain them; belonging is guaranteed by search)
+            rows = layer.pos[slots[connect_here]]
+            sel_for = sel_np[connect_here]
+            layer.adj[rows] = sel_for
+            self._add_reverse_edges(l, slots[connect_here], sel_for, dev)
+            # next layer entries: best candidate found here
+            entries = jnp.where(cand_i[:, 0] >= 0, cand_i[:, 0], entries)
+
+        # entry point promotion
+        best = int(levels.max(initial=-1))
+        if best > self.current_max_level:
+            self.entry_point = int(slots[int(np.argmax(levels))])
+            self.current_max_level = best
+
+    def _bootstrap(self, slots: np.ndarray, vecs: np.ndarray,
+                   levels: np.ndarray) -> None:
+        """First batch into an empty graph: exact kNN graph per layer
+        (brute-force is exact and cheap on the MXU for one batch)."""
+        dev = self.store.device_view()
+        for l in range(int(levels.max(initial=0)) + 1):
+            layer = self._layer(l)
+            members = slots[levels >= l]
+            if len(members) == 0:
+                continue
+            m_vecs = jnp.asarray(vecs[levels >= l])
+            n = len(members)
+            deg = layer.deg
+            if n == 1:
+                continue
+            from quiver_tpu.ops.distance import pairwise_distance
+
+            dist = pairwise_distance(
+                m_vecs, m_vecs, self._metric(), compute_dtype=self.compute_dtype
+            )
+            dist = dist + jnp.where(
+                jnp.eye(n, dtype=bool), MASKED_DIST, 0.0
+            )  # exclude self
+            kk = min(deg + 8, n - 1)
+            neg_top, idx_local = jax.lax.top_k(-dist, kk)
+            cand_d = -neg_top
+            cand_i = jnp.asarray(members, jnp.int32)[idx_local]
+            sel_i, _ = select_neighbors(
+                m_vecs, cand_i, cand_d, dev.vectors,
+                metric=self._metric(), m=deg,
+                compute_dtype=self.compute_dtype,
+            )
+            rows = layer.pos[members]
+            layer.adj[rows] = np.asarray(sel_i)
+        self.entry_point = int(slots[int(np.argmax(levels))])
+        self.current_max_level = int(levels.max(initial=0))
+
+    def _add_reverse_edges(self, level: int, new_slots: np.ndarray,
+                           sel: np.ndarray, dev) -> None:
+        """Bidirectional linking (hnsw.go:413-459): append new -> target
+        back-edges; rows that overflow re-run the diversity selection in one
+        batched kernel call over all overflowed targets."""
+        layer = self._layer(level)
+        deg = layer.deg
+        E_t, E_s = [], []
+        for src, row in zip(new_slots, sel):
+            for t in row:
+                if t >= 0:
+                    E_t.append(int(t))
+                    E_s.append(int(src))
+        if not E_t:
+            return
+        targets = np.asarray(E_t, np.int32)
+        sources = np.asarray(E_s, np.int32)
+        order = np.argsort(targets, kind="stable")
+        targets, sources = targets[order], sources[order]
+        uniq, starts, counts = np.unique(
+            targets, return_index=True, return_counts=True
+        )
+        rows = layer.pos[uniq]
+        live = rows >= 0
+        uniq, starts, counts, rows = uniq[live], starts[live], counts[live], rows[live]
+        if len(uniq) == 0:
+            return
+        cur = layer.adj[rows]  # [U, deg]
+        fill = (cur >= 0).sum(axis=1)
+        gmax = int(counts.max())
+        extra = np.full((len(uniq), gmax), -1, np.int32)
+        for ui in range(len(uniq)):
+            grp = sources[starts[ui] : starts[ui] + counts[ui]]
+            # skip sources already present
+            grp = grp[~np.isin(grp, cur[ui])]
+            extra[ui, : len(grp)] = grp
+
+        total = fill + (extra >= 0).sum(axis=1)
+        fits = total <= deg
+        # fast path: plain append for rows with room (hnswlib appends
+        # without pruning until the row is full)
+        for ui in np.flatnonzero(fits):
+            grp = extra[ui][extra[ui] >= 0]
+            if len(grp):
+                free = np.flatnonzero(cur[ui] < 0)[: len(grp)]
+                cur[ui, free] = grp[: len(free)]
+        layer.adj[rows[fits]] = cur[fits]
+        # overflow path: batched re-selection
+        over = np.flatnonzero(~fits)
+        if len(over):
+            cands = np.concatenate([cur[over], extra[over]], axis=1)
+            t_slots = uniq[over]
+            q_vecs = jnp.asarray(self.store._np_vectors[t_slots])
+            c_ids = jnp.asarray(cands)
+            from quiver_tpu.ops.hnsw_kernels import _batched_distance
+
+            c_vecs = dev.vectors[jnp.maximum(c_ids, 0)]
+            c_d = _batched_distance(q_vecs, c_vecs, self.store.metric,
+                                    self.compute_dtype)
+            c_d = jnp.where(c_ids >= 0, c_d, MASKED_DIST)
+            sel_i, _ = select_neighbors(
+                q_vecs, c_ids, c_d, dev.vectors,
+                metric=self._metric(), m=deg,
+                compute_dtype=self.compute_dtype,
+            )
+            layer.adj[rows[over]] = np.asarray(sel_i)
+
+    def _dirty(self) -> None:
+        self._graph_version += 1
+
+    def _device_graph(self):
+        if self._dev is not None and self._dev_gen == self._graph_version:
+            return self._dev
+        layers = []
+        for l in range(self.current_max_level, 0, -1):
+            layer = self._layer(l)
+            adj = (
+                jnp.asarray(layer.adj)
+                if len(layer.adj)
+                else jnp.full((1, layer.deg), -1, jnp.int32)
+            )
+            layers.append((adj, jnp.asarray(layer.pos)))
+        adj0 = (
+            jnp.asarray(self.layer0.adj)
+            if len(self.layer0.adj)
+            else jnp.full((1, self.config.m0), -1, jnp.int32)
+        )
+        self._dev = (layers, adj0, jnp.asarray(self.layer0.pos))
+        self._dev_gen = self._graph_version
+        return self._dev
+
+    # ---------------------------------------------------------------- query
+
+    def search_slots(
+        self,
+        queries,
+        k: int,
+        *,
+        mask=None,
+        negative=None,
+        negative_weight: float = 0.5,
+        exact: bool = False,
+    ):
+        """Batched ANN query. Masked/filtered or forced-exact searches
+        delegate to the exact scan over the same store (the reference
+        brute-forces filtered queries anyway via searchK=Size(),
+        collection.go:679-682)."""
+        q = np.asarray(queries, np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if (
+            exact
+            or mask is not None
+            or self.entry_point < 0
+            or self.store.size <= max(self.config.m0, 2 * k)
+        ):
+            return self._exact.search_slots(
+                q, k, mask=mask, negative=negative,
+                negative_weight=negative_weight,
+            )
+        c = self.config
+        retrieve_k = k if negative is None else min(max(2 * k, 30), self.store.size)
+        ef = max(c.ef_search, retrieve_k)
+        dev = self.store.device_view()
+        qd = jnp.asarray(q)
+        B = q.shape[0]
+        entries = jnp.full((B,), self.entry_point, jnp.int32)
+        layers, adj0, pos0 = self._device_graph()
+        for adj, pos in layers:
+            _, entries = greedy_descent(
+                qd, entries, dev.vectors, dev.valid, adj, pos,
+                metric=self._metric(), compute_dtype=self.compute_dtype,
+            )
+        bd, bi = beam_search(
+            qd, entries, dev.vectors, dev.valid, adj0, pos0,
+            metric=self._metric(), ef=ef,
+            max_iters=int(1.5 * ef) + 8,
+            compute_dtype=self.compute_dtype,
+        )
+        if negative is not None:
+            neg = jnp.asarray(np.asarray(negative, np.float32))
+            if neg.ndim == 1:
+                neg = jnp.broadcast_to(neg[None, :], qd.shape)
+            bd2, bi2 = bd[:, :retrieve_k], bi[:, :retrieve_k]
+            bd, bi = negative_rerank(
+                bd2, bi2, dev.vectors, neg,
+                metric=self._metric(), k=k, weight=negative_weight,
+            )
+        dist = np.asarray(bd[:, :k])
+        idx = np.asarray(bi[:, :k])
+        # under-fill supplement (hnsw.go:676-710): if the graph returned
+        # fewer than k live results (deletes can disconnect it), merge in
+        # an exact scan
+        found = (idx >= 0).sum(axis=1)
+        want = min(k, self.store.size)
+        if (found < want).any():
+            e_dist, e_idx = self._exact.search_slots(
+                q, k, negative=negative, negative_weight=negative_weight
+            )
+            for b in np.flatnonzero(found < want):
+                dist[b], idx[b] = _merge_rows(
+                    dist[b], idx[b], e_dist[b], e_idx[b], k
+                )
+        return dist, idx
+
+
+def _merge_rows(d1, i1, d2, i2, k):
+    """Merge two sorted candidate rows, dedup by id, keep k smallest."""
+    seen = {}
+    for d, i in list(zip(d1, i1)) + list(zip(d2, i2)):
+        i = int(i)
+        if i >= 0 and (i not in seen or d < seen[i]):
+            seen[i] = float(d)
+    items = sorted(seen.items(), key=lambda kv: kv[1])[:k]
+    out_d = np.full(k, MASKED_DIST, np.float32)
+    out_i = np.full(k, -1, np.int32)
+    for j, (i, d) in enumerate(items):
+        out_d[j] = d
+        out_i[j] = i
+    return out_d, out_i

@@ -1,0 +1,167 @@
+"""HNSW engine tests: recall vs exact oracle, property battery, deletes,
+reproducibility, negative rerank, under-fill supplement.
+
+Mirrors the reference's property-test pattern (pkg/hnsw/hnsw_property_test.go:
+insert-then-search recall, sorted results, k caps, delete removal, exact-
+distance oracle) — but with deterministic builds the reference couldn't have
+(hnsw_property_test.go:334-339 skips determinism)."""
+
+import numpy as np
+import pytest
+
+from quiver_tpu.core.store import VectorStore
+from quiver_tpu.index.exact import ExactIndex
+from quiver_tpu.index.hnsw import HNSWConfig, HNSWIndex
+
+D = 32
+
+
+def build(n=600, d=D, metric="euclidean", seed=0, **cfg):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    store = VectorStore(dim=d, metric=metric)
+    cfg.setdefault("build_batch", 256)
+    idx = HNSWIndex(store, **cfg)
+    slots = store.add_batch([f"v{i}" for i in range(n)], vecs)
+    idx.on_insert(slots, vecs)
+    return store, idx, vecs
+
+
+def recall_at_k(idx, exact, queries, k=10):
+    _, approx = idx.search_slots(queries, k)
+    _, truth = exact.search_slots(queries, k)
+    hits = 0
+    for b in range(len(queries)):
+        hits += len(set(approx[b].tolist()) & set(truth[b].tolist()))
+    return hits / (len(queries) * k)
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "cosine"])
+def test_recall_against_oracle(metric):
+    store, idx, vecs = build(metric=metric)
+    exact = ExactIndex(store)
+    rng = np.random.default_rng(1)
+    queries = rng.normal(size=(16, D)).astype(np.float32)
+    r = recall_at_k(idx, exact, queries, k=10)
+    assert r >= 0.9, f"recall {r} too low for {metric}"
+
+
+def test_insert_then_search_self_recall():
+    store, idx, vecs = build(n=300)
+    _, slots = idx.search_slots(vecs[:50], k=1)
+    hits = sum(store.id_of(int(slots[i, 0])) == f"v{i}" for i in range(50))
+    assert hits >= 48  # approximate engine; near-perfect self-recall
+
+
+def test_results_sorted_and_k_capped():
+    store, idx, _ = build(n=100)
+    q = np.random.default_rng(2).normal(size=(1, D)).astype(np.float32)
+    dist, slots = idx.search_slots(q, k=150)
+    live = dist[0][slots[0] >= 0]
+    assert np.all(np.diff(live) >= -1e-5)  # ascending
+    assert (slots[0] >= 0).sum() == 100  # k never exceeds size
+
+
+def test_delete_removes_from_results():
+    store, idx, vecs = build(n=200)
+    target_slots = [store.slot_of(f"v{i}") for i in range(5)]
+    store.delete_batch([f"v{i}" for i in range(5)])
+    idx.on_delete(np.asarray(target_slots))
+    dist, slots = idx.search_slots(vecs[:5], k=10)
+    for b in range(5):
+        ids = {store.id_of(int(s)) for s in slots[b] if s >= 0}
+        assert f"v{b}" not in ids
+        assert len(ids) == 10  # still fills k from live nodes
+
+
+def test_delete_entry_point_reelects():
+    store, idx, vecs = build(n=150)
+    ep = idx.entry_point
+    vid = store.id_of(ep)
+    store.delete(vid)
+    idx.on_delete(np.asarray([ep]))
+    assert idx.entry_point != ep
+    # search still works
+    _, slots = idx.search_slots(vecs[:3], k=5)
+    assert (slots >= 0).all()
+
+
+def test_delete_all_then_search():
+    store, idx, vecs = build(n=120)
+    all_slots = [store.slot_of(f"v{i}") for i in range(120)]
+    store.delete_batch([f"v{i}" for i in range(120)])
+    idx.on_delete(np.asarray(all_slots))
+    dist, slots = idx.search_slots(vecs[:2], k=5)
+    assert (slots < 0).all()
+
+
+def test_reproducible_builds():
+    _, idx1, vecs = build(n=200, seed=3)
+    _, idx2, _ = build(n=200, seed=3)
+    np.testing.assert_array_equal(idx1.layer0.adj, idx2.layer0.adj)
+    assert idx1.entry_point == idx2.entry_point
+    assert idx1.current_max_level == idx2.current_max_level
+
+
+def test_incremental_inserts_match_quality():
+    # inserting in several batches should retain good recall
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(500, D)).astype(np.float32)
+    store = VectorStore(dim=D, metric="euclidean")
+    idx = HNSWIndex(store, build_batch=128)
+    for i in range(0, 500, 100):
+        slots = store.add_batch([f"v{j}" for j in range(i, i + 100)], vecs[i : i + 100])
+        idx.on_insert(slots, vecs[i : i + 100])
+    exact = ExactIndex(store)
+    queries = rng.normal(size=(16, D)).astype(np.float32)
+    r = recall_at_k(idx, exact, queries, k=10)
+    assert r >= 0.85, f"incremental recall {r}"
+
+
+def test_small_graph_delegates_to_exact():
+    store = VectorStore(dim=D, metric="euclidean")
+    idx = HNSWIndex(store)
+    vecs = np.random.default_rng(0).normal(size=(10, D)).astype(np.float32)
+    slots = store.add_batch([f"v{i}" for i in range(10)], vecs)
+    idx.on_insert(slots, vecs)
+    _, got = idx.search_slots(vecs[:3], k=3)
+    exact = ExactIndex(store)
+    _, want = exact.search_slots(vecs[:3], k=3)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_mask_delegates_to_exact():
+    store, idx, vecs = build(n=100)
+    mask = np.zeros(store.capacity, bool)
+    mask[[store.slot_of(f"v{i}") for i in (3, 7, 11)]] = True
+    import jax.numpy as jnp
+
+    _, slots = idx.search_slots(vecs[:2], k=5, mask=jnp.asarray(mask))
+    for b in range(2):
+        got = {store.id_of(int(s)) for s in slots[b] if s >= 0}
+        assert got == {"v3", "v7", "v11"}
+
+
+def test_negative_example_on_graph():
+    store, idx, vecs = build(n=200)
+    dist, slots = idx.search_slots(
+        vecs[:2], k=5, negative=vecs[1][None].repeat(2, 0), negative_weight=2.0
+    )
+    assert (slots >= 0).all()
+
+
+def test_update_reinserts():
+    store, idx, vecs = build(n=150)
+    slot = store.slot_of("v7")
+    newv = np.full(D, 42.0, np.float32)
+    store.update_batch(["v7"], [newv])
+    idx.on_update(np.asarray([slot]), newv[None])
+    _, slots = idx.search_slots(newv[None], k=1)
+    assert store.id_of(int(slots[0, 0])) == "v7"
+
+
+def test_config_defaults_match_reference():
+    c = HNSWConfig()
+    assert (c.m, c.m0, c.ef_construction, c.ef_search, c.max_level) == (
+        16, 32, 200, 100, 16,
+    )
