@@ -1,0 +1,225 @@
+"""Hybrid engine — adaptive exact vs HNSW strategy selection.
+
+Parity with the reference's ``pkg/hybrid`` (reference:
+pkg/hybrid/hybrid_index.go, adaptive.go): one index that routes each query to
+the brute-force exact scan or the HNSW graph via an ε-greedy selector with a
+learned exact-threshold. Differences by design:
+
+* ONE shared VectorStore — the reference keeps three copies of every vector
+  (exact map + HNSW node + hybrid map, hybrid_index.go:15-43);
+* filtered (masked) queries always take the exact path, where the facet mask
+  fuses into the scan for free — the reference brute-forces filtered queries
+  anyway via searchK=Size();
+* the selector's learned threshold is NOT reset on every write — the
+  reference calls UpdateThresholds(count, dim) on each insert/delete which
+  overwrites the learned value (adaptive.go:226-231, a quirk SURVEY.md §2.6
+  says to drop while preserving the adaptive interface).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from quiver_tpu.core.store import VectorStore
+from quiver_tpu.index.exact import ExactIndex
+from quiver_tpu.index.hnsw import HNSWConfig, HNSWIndex
+
+EXACT = "exact"
+HNSW = "hnsw"
+
+
+@dataclass
+class AdaptiveConfig:
+    """Defaults mirror the reference (pkg/hybrid/types.go:72-99)."""
+
+    exploration_factor: float = 0.1
+    initial_exact_threshold: int = 1000
+    initial_dim_threshold: int = 100
+    metrics_window_size: int = 1000
+    adaptation_rate: float = 0.05
+    adapt_every: int = 20  # adaptThresholds cadence (adaptive.go:75-105)
+    min_samples: int = 10
+    exact_threshold_floor: int = 100
+    seed: int = 0
+
+
+@dataclass
+class QueryMetric:
+    strategy: str
+    latency_ms: float
+    result_count: int
+    corpus_size: int
+    timestamp: float = field(default_factory=time.time)
+
+
+class AdaptiveStrategySelector:
+    """ε-greedy exact-vs-HNSW selection with latency-driven threshold
+    adaptation (reference AdaptiveStrategySelector, adaptive.go:41-174)."""
+
+    def __init__(self, config: Optional[AdaptiveConfig] = None):
+        self.config = config or AdaptiveConfig()
+        self.exact_threshold = self.config.initial_exact_threshold
+        self.dim_threshold = self.config.initial_dim_threshold
+        self._rng = np.random.default_rng(self.config.seed)
+        self._window: deque[QueryMetric] = deque(
+            maxlen=self.config.metrics_window_size
+        )
+        self._since_adapt = 0
+        self._lock = threading.Lock()
+
+    def select_strategy(self, vector_count: int, dimension: int, k: int) -> str:
+        """(reference SelectStrategy, adaptive.go:41-72)."""
+        c = self.config
+        if self._rng.random() < c.exploration_factor:
+            return EXACT if self._rng.random() < 0.5 else HNSW
+        if vector_count < self.exact_threshold:
+            return EXACT
+        if dimension > self.dim_threshold:
+            return HNSW if k < 50 else EXACT
+        return HNSW
+
+    def record_query_metrics(self, m: QueryMetric) -> None:
+        """(reference RecordQueryMetrics + adaptThresholds,
+        adaptive.go:75-174)."""
+        with self._lock:
+            self._window.append(m)
+            self._since_adapt += 1
+            if (
+                self._since_adapt >= self.config.adapt_every
+                and len(self._window) >= self.config.min_samples
+            ):
+                self._since_adapt = 0
+                self._adapt()
+
+    def _adapt(self) -> None:
+        c = self.config
+        small = [m for m in self._window if m.corpus_size < self.exact_threshold * 2]
+        exact = [m.latency_ms for m in small if m.strategy == EXACT]
+        hnsw = [m.latency_ms for m in small if m.strategy == HNSW]
+        if len(exact) < 3 or len(hnsw) < 3:
+            return
+        avg_exact = sum(exact) / len(exact)
+        avg_hnsw = sum(hnsw) / len(hnsw)
+        step = max(int(self.exact_threshold * c.adaptation_rate), 10)
+        if avg_exact < avg_hnsw:
+            self.exact_threshold += step
+        else:
+            self.exact_threshold = max(
+                c.exact_threshold_floor, self.exact_threshold - step
+            )
+
+    def update_thresholds(self, exact: int, dim: int) -> None:
+        """Manual override surface (reference UpdateThresholds,
+        adaptive.go:226-231) — exposed but NOT wired into the write path."""
+        self.exact_threshold = exact
+        self.dim_threshold = dim
+
+    def stats(self) -> dict:
+        with self._lock:
+            per = {EXACT: [], HNSW: []}
+            for m in self._window:
+                per[m.strategy].append(m.latency_ms)
+        return {
+            "exact_threshold": self.exact_threshold,
+            "dim_threshold": self.dim_threshold,
+            "window": len(self._window),
+            "avg_latency_ms": {
+                s: (sum(v) / len(v) if v else None) for s, v in per.items()
+            },
+        }
+
+
+class HybridIndex:
+    """Dual-engine index over one shared store."""
+
+    name = "hybrid"
+
+    def __init__(
+        self,
+        store: VectorStore,
+        *,
+        hnsw_config: Optional[HNSWConfig] = None,
+        adaptive_config: Optional[AdaptiveConfig] = None,
+        compute_dtype=jnp.float32,
+        **hnsw_overrides,
+    ):
+        self.store = store
+        self.exact = ExactIndex(store, compute_dtype=compute_dtype)
+        self.hnsw = HNSWIndex(
+            store,
+            config=hnsw_config,
+            compute_dtype=compute_dtype,
+            **hnsw_overrides,
+        )
+        self.selector = AdaptiveStrategySelector(adaptive_config)
+        self.last_strategy = EXACT
+        self._per_strategy_counts = {EXACT: 0, HNSW: 0}
+
+    @property
+    def size(self) -> int:
+        return self.store.size
+
+    # ---------------------------------------------------------------- write
+
+    def on_insert(self, slots, vectors) -> None:
+        self.hnsw.on_insert(slots, vectors)
+
+    def on_update(self, slots, vectors) -> None:
+        self.hnsw.on_update(slots, vectors)
+
+    def on_delete(self, slots) -> None:
+        self.hnsw.on_delete(slots)
+
+    # ---------------------------------------------------------------- query
+
+    def search_slots(
+        self,
+        queries,
+        k: int,
+        *,
+        mask=None,
+        negative=None,
+        negative_weight: float = 0.5,
+        exact: bool = False,
+        strategy: Optional[str] = None,
+    ):
+        q = np.asarray(queries, np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if strategy is None:
+            if exact or mask is not None:
+                strategy = EXACT
+            else:
+                strategy = self.selector.select_strategy(
+                    self.store.size, self.store.dim, k
+                )
+        t0 = time.perf_counter()
+        engine = self.exact if strategy == EXACT else self.hnsw
+        dist, slots = engine.search_slots(
+            q, k, mask=mask, negative=negative, negative_weight=negative_weight
+        )
+        ms = (time.perf_counter() - t0) * 1e3
+        self.last_strategy = strategy
+        self._per_strategy_counts[strategy] += 1
+        self.selector.record_query_metrics(
+            QueryMetric(
+                strategy=strategy,
+                latency_ms=ms / max(q.shape[0], 1),
+                result_count=int((slots >= 0).sum()),
+                corpus_size=self.store.size,
+            )
+        )
+        return dist, slots
+
+    def stats(self) -> dict:
+        return {
+            "selector": self.selector.stats(),
+            "per_strategy_queries": dict(self._per_strategy_counts),
+        }

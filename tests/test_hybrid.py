@@ -1,0 +1,150 @@
+"""Hybrid index + adaptive selector tests (reference:
+pkg/hybrid/adaptive_test.go threshold/strategy behavior,
+hybrid_index_test.go routing + consistency)."""
+
+import numpy as np
+import pytest
+
+from quiver_tpu.core.store import VectorStore
+from quiver_tpu.index.exact import ExactIndex
+from quiver_tpu.index.hybrid import (
+    EXACT,
+    HNSW,
+    AdaptiveConfig,
+    AdaptiveStrategySelector,
+    HybridIndex,
+    QueryMetric,
+)
+
+D = 16
+
+
+def no_explore(**kw):
+    kw.setdefault("exploration_factor", 0.0)
+    return AdaptiveConfig(**kw)
+
+
+def test_small_corpus_selects_exact():
+    s = AdaptiveStrategySelector(no_explore())
+    assert s.select_strategy(500, 64, 10) == EXACT
+
+
+def test_large_corpus_selects_hnsw():
+    s = AdaptiveStrategySelector(no_explore())
+    assert s.select_strategy(100_000, 64, 10) == HNSW
+
+
+def test_high_dim_large_k_selects_exact():
+    # dim > threshold and k >= 50 -> exact (adaptive.go:41-72)
+    s = AdaptiveStrategySelector(no_explore())
+    assert s.select_strategy(100_000, 512, 64) == EXACT
+    assert s.select_strategy(100_000, 512, 10) == HNSW
+
+
+def test_exploration_randomizes():
+    s = AdaptiveStrategySelector(AdaptiveConfig(exploration_factor=1.0, seed=7))
+    seen = {s.select_strategy(10, 8, 5) for _ in range(50)}
+    assert seen == {EXACT, HNSW}
+
+
+def test_threshold_adaptation_moves_toward_faster_engine():
+    cfg = no_explore(adapt_every=20, min_samples=10)
+    s = AdaptiveStrategySelector(cfg)
+    t0 = s.exact_threshold
+    # exact consistently faster on small corpora -> threshold grows
+    for i in range(40):
+        strat = EXACT if i % 2 == 0 else HNSW
+        lat = 1.0 if strat == EXACT else 5.0
+        s.record_query_metrics(QueryMetric(strat, lat, 10, corpus_size=800))
+    assert s.exact_threshold > t0
+    # now hnsw consistently faster -> threshold shrinks (floor 100)
+    s2 = AdaptiveStrategySelector(cfg)
+    for i in range(40):
+        strat = EXACT if i % 2 == 0 else HNSW
+        lat = 5.0 if strat == EXACT else 1.0
+        s2.record_query_metrics(QueryMetric(strat, lat, 10, corpus_size=800))
+    assert s2.exact_threshold < t0
+    # floor
+    for _ in range(200):
+        for i in range(20):
+            strat = EXACT if i % 2 == 0 else HNSW
+            lat = 5.0 if strat == EXACT else 1.0
+            s2.record_query_metrics(QueryMetric(strat, lat, 10, corpus_size=800))
+    assert s2.exact_threshold >= 100
+
+
+def build_hybrid(n=300, **kw):
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(n, D)).astype(np.float32)
+    store = VectorStore(dim=D, metric="euclidean")
+    idx = HybridIndex(store, build_batch=128, **kw)
+    slots = store.add_batch([f"v{i}" for i in range(n)], vecs)
+    idx.on_insert(slots, vecs)
+    return store, idx, vecs
+
+
+def test_hybrid_small_routes_exact():
+    store, idx, vecs = build_hybrid(
+        n=200, adaptive_config=no_explore(initial_exact_threshold=1000)
+    )
+    _, slots = idx.search_slots(vecs[:2], k=5)
+    assert idx.last_strategy == EXACT
+    assert store.id_of(int(slots[0, 0])) == "v0"
+
+
+def test_hybrid_large_routes_hnsw():
+    store, idx, vecs = build_hybrid(
+        n=300, adaptive_config=no_explore(initial_exact_threshold=10)
+    )
+    _, slots = idx.search_slots(vecs[:2], k=5)
+    assert idx.last_strategy == HNSW
+    assert store.id_of(int(slots[0, 0])) == "v0"
+
+
+def test_forced_exact_overrides_selector():
+    store, idx, vecs = build_hybrid(
+        n=300, adaptive_config=no_explore(initial_exact_threshold=10)
+    )
+    idx.search_slots(vecs[:1], k=5, exact=True)
+    assert idx.last_strategy == EXACT
+
+
+def test_masked_queries_route_exact():
+    import jax.numpy as jnp
+
+    store, idx, vecs = build_hybrid(
+        n=300, adaptive_config=no_explore(initial_exact_threshold=10)
+    )
+    mask = np.zeros(store.capacity, bool)
+    mask[store.slot_of("v9")] = True
+    _, slots = idx.search_slots(vecs[:1], k=3, mask=jnp.asarray(mask))
+    assert idx.last_strategy == EXACT
+    assert store.id_of(int(slots[0, 0])) == "v9"
+
+
+def test_both_strategies_agree_on_top1():
+    store, idx, vecs = build_hybrid(n=400)
+    _, e = idx.search_slots(vecs[:8], k=1, strategy=EXACT)
+    _, h = idx.search_slots(vecs[:8], k=1, strategy=HNSW)
+    agree = (e[:, 0] == h[:, 0]).mean()
+    assert agree >= 0.9
+
+
+def test_writes_propagate_to_graph():
+    store, idx, vecs = build_hybrid(
+        n=300, adaptive_config=no_explore(initial_exact_threshold=10)
+    )
+    slot = store.slot_of("v3")
+    store.delete("v3")
+    idx.on_delete(np.asarray([slot]))
+    _, slots = idx.search_slots(vecs[3][None], k=10, strategy=HNSW)
+    ids = {store.id_of(int(s)) for s in slots[0] if s >= 0}
+    assert "v3" not in ids
+
+
+def test_stats_shape():
+    store, idx, vecs = build_hybrid(n=120)
+    idx.search_slots(vecs[:1], k=3)
+    st = idx.stats()
+    assert "selector" in st and "per_strategy_queries" in st
+    assert st["selector"]["exact_threshold"] > 0
