@@ -161,6 +161,29 @@ class HybridIndex:
         self.selector = AdaptiveStrategySelector(adaptive_config)
         self.last_strategy = EXACT
         self._per_strategy_counts = {EXACT: 0, HNSW: 0}
+        # Lazy graph construction: below the selector's exact threshold every
+        # query routes to the exact scan anyway, so building the HNSW graph
+        # (and paying its kernel compiles) is pure waste — buffer inserts and
+        # build the graph only once the corpus could plausibly use it.
+        self._graph_built = False
+        self._pending: list = []
+
+    def _build_threshold(self) -> int:
+        return max(self.selector.exact_threshold // 2, 256)
+
+    def _ensure_graph(self, force: bool = False) -> None:
+        if self._pending and (
+            force
+            or self._graph_built
+            or self.store.size >= self._build_threshold()
+        ):
+            import numpy as _np
+
+            slots = _np.concatenate([s for s, _ in self._pending])
+            vecs = _np.concatenate([v for _, v in self._pending])
+            self._pending.clear()
+            self.hnsw.on_insert(slots, vecs)
+            self._graph_built = True
 
     @property
     def size(self) -> int:
@@ -169,13 +192,50 @@ class HybridIndex:
     # ---------------------------------------------------------------- write
 
     def on_insert(self, slots, vectors) -> None:
-        self.hnsw.on_insert(slots, vectors)
+        import numpy as _np
+
+        self._pending.append(
+            (_np.asarray(slots, _np.int64), _np.asarray(vectors, _np.float32))
+        )
+        self._ensure_graph()
 
     def on_update(self, slots, vectors) -> None:
-        self.hnsw.on_update(slots, vectors)
+        import numpy as _np
+
+        slots = _np.asarray(slots)
+        if self._pending:
+            pending_slots = set(
+                int(s) for ps, _ in self._pending for s in ps
+            )
+            if all(int(s) in pending_slots for s in slots):
+                # updated rows aren't in the graph yet; refresh the buffer
+                for i, (ps, pv) in enumerate(self._pending):
+                    sel = _np.isin(ps, slots)
+                    if sel.any():
+                        order = {int(s): j for j, s in enumerate(slots)}
+                        for row in _np.flatnonzero(sel):
+                            pv[row] = vectors[order[int(ps[row])]]
+                return
+        self._ensure_graph()
+        if self._graph_built:
+            self.hnsw.on_update(slots, vectors)
 
     def on_delete(self, slots) -> None:
-        self.hnsw.on_delete(slots)
+        import numpy as _np
+
+        slots = _np.asarray(slots)
+        if self._pending:
+            keep = []
+            dropped = set(int(s) for s in slots)
+            for ps, pv in self._pending:
+                sel = ~_np.isin(ps, slots)
+                if sel.all():
+                    keep.append((ps, pv))
+                elif sel.any():
+                    keep.append((ps[sel], pv[sel]))
+            self._pending = keep
+        if self._graph_built:
+            self.hnsw.on_delete(slots)
 
     # ---------------------------------------------------------------- query
 
@@ -201,6 +261,8 @@ class HybridIndex:
                     self.store.size, self.store.dim, k
                 )
         t0 = time.perf_counter()
+        if strategy == HNSW:
+            self._ensure_graph(force=True)  # exploration can pick HNSW early
         engine = self.exact if strategy == EXACT else self.hnsw
         dist, slots = engine.search_slots(
             q, k, mask=mask, negative=negative, negative_weight=negative_weight
