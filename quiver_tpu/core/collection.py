@@ -158,6 +158,21 @@ class Collection:
         )
         self._notify_write()
 
+    def load_rows(self, ids, vectors, metadatas=None) -> np.ndarray:
+        """Bulk-load persisted rows WITHOUT notifying the engine or WAL —
+        the startup path; the DB decides afterwards whether to import a
+        topology sidecar or rebuild the index."""
+        if metadatas is None:
+            metadatas = [None] * len(ids)
+        vecs = as_f32_matrix(vectors, self.dim)
+        with self._lock:
+            slots = self.store.add_batch(ids, vecs, metadatas)
+            self.facets.grow(self.store.capacity)
+            if self.auto_facet_fields:
+                self._auto_track_fields(metadatas)
+            self.facets.index_rows(slots, metadatas)
+        return slots
+
     def _auto_track_fields(self, metadatas) -> None:
         new_fields = []
         tracked = set(self.facets.fields)

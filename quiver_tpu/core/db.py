@@ -180,10 +180,42 @@ class DB:
                 )
                 coll.created_at = cfg.created_at
                 ids, vectors, metadatas = self.persistence.load_collection_data(name)
+                rebuilt = False
                 if len(ids):
-                    coll.add_batch(ids, vectors, metadatas)
+                    slots = coll.load_rows(ids, vectors, metadatas)
+                    topo = self.persistence.load_topology(name)
+                    engine = coll.engine
+                    if topo is not None and hasattr(engine, "import_topology"):
+                        # remap old slot -> new slot BY VECTOR ID, so WAL
+                        # deletes/adds between flushes can't skew row order
+                        import numpy as np
+
+                        snap_slots = np.asarray(topo.pop("snapshot_slots"))
+                        snap_ids = [str(x) for x in topo.pop("snapshot_ids")]
+                        remap = np.full(
+                            int(snap_slots.max(initial=-1)) + 1, -1, np.int64
+                        )
+                        new_by_id = {vid: int(s) for vid, s in zip(ids, slots)}
+                        for old_slot, vid in zip(snap_slots, snap_ids):
+                            ns = new_by_id.get(vid)
+                            if ns is not None:
+                                remap[int(old_slot)] = ns
+                        engine.import_topology(topo, remap)
+                        # WAL-added rows aren't in the sidecar: fresh inserts
+                        in_snap = set(snap_ids)
+                        extra_rows = [
+                            i for i, vid in enumerate(ids) if vid not in in_snap
+                        ]
+                        if extra_rows and hasattr(engine, "on_insert"):
+                            engine.on_insert(
+                                slots[extra_rows], vectors[extra_rows]
+                            )
+                    elif hasattr(engine, "on_insert"):
+                        engine.on_insert(slots, vectors)
+                        rebuilt = True
                 self._register(coll)
-                qlog.info("loaded collection", collection=name, vectors=len(ids))
+                qlog.info("loaded collection", collection=name,
+                          vectors=len(ids), topology="rebuilt" if rebuilt else "sidecar")
             except Exception as e:
                 qlog.error("failed to load collection", collection=name,
                            error=str(e))

@@ -248,6 +248,11 @@ class VectorStore:
             mds = [self._metadata[s] for s in live]
             return ids, self._np_vectors[live].copy(), mds
 
+    def live_slots(self) -> np.ndarray:
+        """Slots of live rows in snapshot order (topology sidecar remap)."""
+        with self._lock:
+            return np.flatnonzero(self._np_valid)
+
     # ---------------------------------------------------------------- device
 
     def device_view(self) -> StoreDeviceView:

@@ -383,6 +383,75 @@ class HNSWIndex:
         self._dev_gen = self._graph_version
         return self._dev
 
+    # ---------------------------------------------------------- persistence
+
+    def export_topology(self) -> Optional[dict]:
+        """CSR arrays for the topology sidecar (slot-addressed). The
+        reference never persists topology and always rebuilds from vectors
+        (SURVEY.md §5.4) — this skips that rebuild entirely."""
+        if self.entry_point < 0:
+            return None
+        out = {
+            "format_version": np.int64(1),
+            "entry_point": np.int64(self.entry_point),
+            "max_level": np.int64(self.current_max_level),
+            "node_level": self.node_level.copy(),
+            "layer0_nodes": self.layer0.nodes.copy(),
+            "layer0_adj": self.layer0.adj.copy(),
+            "n_layers": np.int64(len(self.layers)),
+        }
+        for li, layer in enumerate(self.layers):
+            out[f"layer{li + 1}_nodes"] = layer.nodes.copy()
+            out[f"layer{li + 1}_adj"] = layer.adj.copy()
+        return out
+
+    def import_topology(self, data: dict, slot_remap: np.ndarray) -> None:
+        """Restore a topology sidecar. ``slot_remap[old_slot]`` is the new
+        store slot (-1 if that vector no longer exists); stale edges to
+        dropped vectors remap to -1 and are skipped at query time."""
+
+        def remap_ids(arr):
+            arr = np.asarray(arr, np.int64)
+            out = np.where(
+                (arr >= 0) & (arr < len(slot_remap)),
+                slot_remap[np.clip(arr, 0, len(slot_remap) - 1)],
+                -1,
+            )
+            return out.astype(np.int32)
+
+        cap = self.store.capacity
+        self._grow_capacity()
+        old_levels = np.asarray(data["node_level"])
+        self.node_level[:] = -1
+        old_slots = np.flatnonzero(old_levels >= 0)
+        new_slots = slot_remap[old_slots]
+        live = new_slots >= 0
+        self.node_level[new_slots[live]] = old_levels[old_slots[live]]
+
+        def load_layer(layer: _Layer, nodes, adj):
+            nodes_new = remap_ids(nodes)
+            keep = nodes_new >= 0
+            layer.nodes = nodes_new[keep]
+            layer.adj = remap_ids(adj)[keep]
+            layer.pos = np.full(cap, -1, np.int32)
+            layer.pos[layer.nodes] = np.arange(len(layer.nodes), dtype=np.int32)
+
+        load_layer(self.layer0, data["layer0_nodes"], data["layer0_adj"])
+        n_layers = int(data["n_layers"])
+        self.layers = []
+        for li in range(n_layers):
+            layer = _Layer(self.config.m, cap)
+            load_layer(layer, data[f"layer{li + 1}_nodes"],
+                       data[f"layer{li + 1}_adj"])
+            self.layers.append(layer)
+        ep = int(slot_remap[int(data["entry_point"])]) if int(data["entry_point"]) < len(slot_remap) else -1
+        if ep >= 0 and self.node_level[ep] >= 0:
+            self.entry_point = ep
+            self.current_max_level = int(data["max_level"])
+        else:
+            self._reelect_entry()
+        self._dirty()
+
     # ---------------------------------------------------------------- query
 
     def search_slots(

@@ -280,6 +280,16 @@ class HybridIndex:
         )
         return dist, slots
 
+    def export_topology(self):
+        if not self._graph_built:
+            return None
+        return self.hnsw.export_topology()
+
+    def import_topology(self, data, slot_remap) -> None:
+        self._pending.clear()
+        self.hnsw.import_topology(data, slot_remap)
+        self._graph_built = True
+
     def stats(self) -> dict:
         return {
             "selector": self.selector.stats(),

@@ -244,7 +244,47 @@ class PersistenceManager:
                 facet_fields=collection.get_facet_fields(),
             )
         )
+        self._save_topology(collection, cdir)
         self.truncate_wal(name)
+
+    def _save_topology(self, collection, cdir: str) -> None:
+        """Topology sidecar: CSR graph arrays + the snapshot's slot map, so
+        load skips the graph rebuild (the reference always rebuilds —
+        SURVEY.md §5.4)."""
+        engine = getattr(collection, "engine", None)
+        topo_path = os.path.join(cdir, "topology.npz")
+        data = None
+        if engine is not None and hasattr(engine, "export_topology"):
+            data = engine.export_topology()
+        if data is None:
+            try:
+                os.remove(topo_path)
+            except FileNotFoundError:
+                pass
+            return
+        data = dict(data)
+        data["snapshot_slots"] = collection.store.live_slots()
+        snap_ids, _, _ = collection.store.snapshot()
+        data["snapshot_ids"] = np.asarray(snap_ids, dtype=object).astype(str)
+        tmp = topo_path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, topo_path)
+
+    def load_topology(self, name: str):
+        """-> dict of arrays or None."""
+        topo_path = os.path.join(self.collection_dir(name), "topology.npz")
+        if not os.path.exists(topo_path):
+            return None
+        try:
+            with np.load(topo_path) as z:
+                return {k: z[k] for k in z.files}
+        except Exception as e:
+            qlog.warn("topology sidecar unreadable; will rebuild",
+                      collection=name, error=str(e))
+            return None
 
     # ----------------------------------------------------------------- load
 
