@@ -1,0 +1,74 @@
+"""quiver-tpu — a TPU-native vector index-and-query engine.
+
+Brand-new JAX/XLA/Pallas implementation with the capabilities of the
+TFMV/quiver Go vector database (see SURVEY.md for the full map): exact and
+HNSW similarity search with an adaptive hybrid selector, five distance
+metrics, metadata/facet filtering compiled to device bitmasks, negative-
+example reranking, batched multi-query search, fluent query API,
+Parquet/Arrow persistence with WAL and backup/restore, multi-chip corpus
+sharding with collective top-k merge, Prometheus observability, REST API,
+and a CLI.
+
+Quick start::
+
+    from quiver_tpu import DB, DBOptions, SearchRequest
+
+    db = DB(DBOptions(storage_path="./data"))
+    c = db.create_collection("docs", dim=128, metric="cosine")
+    c.add_batch(ids, vectors, metadatas)
+    resp = (
+        c.fluent_search(query)
+        .with_k(10)
+        .filter("category", "electronics")
+        .include_metadata()
+        .execute()
+    )
+"""
+
+from quiver_tpu.core.collection import Collection, FluentSearch
+from quiver_tpu.core.db import DB, DBOptions
+from quiver_tpu.core.store import VectorStore
+from quiver_tpu.facets.filters import (
+    EqualityFilter,
+    ExistsFilter,
+    RangeFilter,
+    SetFilter,
+)
+from quiver_tpu.index.exact import ExactIndex
+from quiver_tpu.index.hnsw import HNSWConfig, HNSWIndex
+from quiver_tpu.index.hybrid import AdaptiveConfig, HybridIndex
+from quiver_tpu.types import (
+    DistanceType,
+    Filter,
+    SearchOptions,
+    SearchRequest,
+    SearchResponse,
+    SearchResultItem,
+    VectorRecord,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AdaptiveConfig",
+    "Collection",
+    "DB",
+    "DBOptions",
+    "DistanceType",
+    "EqualityFilter",
+    "ExactIndex",
+    "ExistsFilter",
+    "Filter",
+    "FluentSearch",
+    "HNSWConfig",
+    "HNSWIndex",
+    "HybridIndex",
+    "RangeFilter",
+    "SearchOptions",
+    "SearchRequest",
+    "SearchResponse",
+    "SearchResultItem",
+    "SetFilter",
+    "VectorRecord",
+    "VectorStore",
+]
