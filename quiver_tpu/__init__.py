@@ -25,6 +25,24 @@ Quick start::
     )
 """
 
+import os as _os
+
+if _os.environ.get("QUIVER_XLA_CACHE", "1") != "0":
+    # persistent XLA compilation cache: kernel shapes are stable (pow2-padded
+    # everywhere), so across restarts every compile is a cache hit — critical
+    # when compilation is remote/slow
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "QUIVER_XLA_CACHE_DIR",
+        _os.path.expanduser("~/.cache/quiver_tpu_xla"),
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
 from quiver_tpu.core.collection import Collection, FluentSearch
 from quiver_tpu.core.db import DB, DBOptions
 from quiver_tpu.core.store import VectorStore

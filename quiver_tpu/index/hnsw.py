@@ -38,6 +38,36 @@ from quiver_tpu.ops.hnsw_kernels import beam_search, greedy_descent, select_neig
 from quiver_tpu.ops.scan import MASKED_DIST, negative_rerank
 
 
+def _pad_rows_to(arr: np.ndarray, rows: int, fill: int = -1) -> np.ndarray:
+    """Pad an array to a fixed row count so jitted kernels see a stable
+    shape (each new shape means a full XLA recompile — ruinous over the
+    remote-compile path). Adjacency pads to the store capacity, which only
+    doubles; small work arrays pad to pow2 buckets."""
+    if arr.shape[0] == rows:
+        return arr
+    out = np.full((rows,) + arr.shape[1:], fill, arr.dtype)
+    out[: arr.shape[0]] = arr
+    return out
+
+
+def _pow2(n: int, lo: int = 8) -> int:
+    c = lo
+    while c < n:
+        c *= 2
+    return c
+
+
+def _pad_batch_pow2(q: np.ndarray, min_rows: int = 8):
+    """Pad a query batch to a power-of-two row count (same motivation)."""
+    n = q.shape[0]
+    cap = min_rows
+    while cap < n:
+        cap *= 2
+    if cap == n:
+        return q, n
+    return np.concatenate([q, np.zeros((cap - n,) + q.shape[1:], q.dtype)]), n
+
+
 @dataclass
 class HNSWConfig:
     """Defaults mirror the reference (hnsw.go:16-25, 219-250)."""
@@ -48,36 +78,115 @@ class HNSWConfig:
     ef_search: int = 100
     max_level: int = 16
     level_prob: float = 0.25
-    build_batch: int = 1024
+    #: inserts per level-synchronous build round. Bigger batches amortize
+    #: the per-round dispatch overhead (dominant on remote-dispatch links;
+    #: ~8 device calls + 2 host syncs per connected level per round).
+    build_batch: int = 4096
     seed: int = 42
 
 
 class _Layer:
-    """One upper layer: compacted node list + fixed-degree adjacency."""
+    """One graph layer: compacted node list + fixed-degree adjacency.
+
+    The adjacency is DEVICE-RESIDENT during builds — every batch mutates it
+    with on-device scatters, and the host mirror is downloaded lazily only
+    when persistence/tests read ``.adj``. (Bulk per-batch uploads of the
+    whole matrix were the build bottleneck on slow host<->device links.)
+    """
 
     def __init__(self, deg: int, capacity: int):
         self.deg = deg
         self.nodes = np.zeros(0, np.int32)  # global slots, append order
-        self.adj = np.zeros((0, deg), np.int32)  # -1 padded
         self.pos = np.full(capacity, -1, np.int32)  # global slot -> row
+        self.fill = np.zeros(0, np.int16)  # per-row live-edge count (host)
+        self._adj_host = np.zeros((0, deg), np.int32)
+        self._host_stale = False
+        self._adj_dev = None  # jnp [row_cap, deg]
+        self._pos_dev = None  # jnp [capacity]
+        self._pos_pending: list[int] = []
+        self._pos_full_sync = True
+
+    # ------------------------------------------------------------- host side
+
+    @property
+    def adj(self) -> np.ndarray:
+        """Host mirror of the adjacency (downloads from device if stale)."""
+        if self._host_stale and self._adj_dev is not None:
+            n = len(self.nodes)
+            self._adj_host = np.asarray(self._adj_dev[:n])
+            self._host_stale = False
+        return self._adj_host
+
+    @adj.setter
+    def adj(self, value: np.ndarray) -> None:
+        """Host-side replacement (import_topology path): device arrays are
+        rebuilt from host on next access."""
+        self._adj_host = np.asarray(value, np.int32)
+        self.fill = (self._adj_host >= 0).sum(axis=1).astype(np.int16)
+        self._host_stale = False
+        self._adj_dev = None
 
     def add_nodes(self, slots: np.ndarray) -> None:
         base = len(self.nodes)
         self.nodes = np.concatenate([self.nodes, slots.astype(np.int32)])
-        self.adj = np.concatenate(
-            [self.adj, np.full((len(slots), self.deg), -1, np.int32)]
+        self.fill = np.concatenate(
+            [self.fill, np.zeros(len(slots), np.int16)]
         )
+        if not self._host_stale:
+            self._adj_host = np.concatenate(
+                [self._adj_host, np.full((len(slots), self.deg), -1, np.int32)]
+            )
         self.pos[slots] = base + np.arange(len(slots), dtype=np.int32)
+        self._pos_pending.extend(int(x) for x in slots)
 
     def grow_capacity(self, capacity: int) -> None:
         extra = capacity - len(self.pos)
         if extra > 0:
             self.pos = np.concatenate([self.pos, np.full(extra, -1, np.int32)])
+            self._pos_full_sync = True
+            self._adj_dev = None  # re-pad rows to the new capacity
 
     def remove_nodes(self, slots: np.ndarray) -> None:
         # tombstone: keep the row (queries skip invalid ids via the valid
         # mask); forget the mapping so future re-inserts get fresh rows
         self.pos[slots] = -1
+        self._pos_pending.extend(int(x) for x in slots)
+
+    # ----------------------------------------------------------- device side
+
+    def device(self, capacity: int):
+        """(adj_dev [capacity, deg], pos_dev [capacity]) — synced lazily."""
+        if self._adj_dev is None:
+            self._adj_dev = jnp.asarray(
+                _pad_rows_to(self.adj, capacity)
+            )
+            self._pos_full_sync = True
+        if self._pos_dev is None or self._pos_full_sync:
+            self._pos_dev = jnp.asarray(self.pos)
+            self._pos_full_sync = False
+            self._pos_pending.clear()
+        elif self._pos_pending:
+            idx = np.unique(np.asarray(self._pos_pending, np.int64))
+            self._pos_dev = self._pos_dev.at[jnp.asarray(idx)].set(
+                jnp.asarray(self.pos[idx])
+            )
+            self._pos_pending.clear()
+        return self._adj_dev, self._pos_dev
+
+    def write_rows_dev(self, rows: np.ndarray, values, counts: np.ndarray) -> None:
+        """Replace whole adjacency rows on device (values may be a device
+        array — no download); host mirror goes stale."""
+        self._adj_dev = self._adj_dev.at[jnp.asarray(rows)].set(values)
+        self.fill[rows] = counts.astype(np.int16)
+        self._host_stale = True
+
+    def append_cells_dev(self, rows: np.ndarray, cols: np.ndarray,
+                         vals: np.ndarray) -> None:
+        """Append edges into known-free cells on device."""
+        self._adj_dev = self._adj_dev.at[
+            jnp.asarray(rows), jnp.asarray(cols)
+        ].set(jnp.asarray(vals))
+        self._host_stale = True
 
 
 class HNSWIndex:
@@ -206,17 +315,25 @@ class HNSWIndex:
             return
 
         dev = self.store.device_view()
-        q = jnp.asarray(vecs)
-        B = len(slots)
+        q_np, real_b = _pad_batch_pow2(vecs)
+        q = jnp.asarray(q_np)
+        B = q_np.shape[0]
         entries = jnp.full((B,), self.entry_point, jnp.int32)
+        pad_levels = np.full(B, -1, np.int16)
+        pad_levels[:real_b] = levels
+        levels = pad_levels
+        pad_slots = np.full(B, -1, np.int64)
+        pad_slots[:real_b] = slots
+        slots = pad_slots
 
         # greedy descent through layers above each node's level, then beam
         # search + connect at each layer <= node level (hnsw.go:337-468),
-        # batched level-synchronously over the whole insert batch.
+        # batched level-synchronously over the whole insert batch. All graph
+        # mutations are on-device scatters; only the [n, deg] selection
+        # matrix is downloaded (for reverse-edge grouping).
         for l in range(self.current_max_level, -1, -1):
             layer = self._layer(l)
-            adj_dev = jnp.asarray(layer.adj) if len(layer.adj) else jnp.full((1, layer.deg), -1, jnp.int32)
-            pos_dev = jnp.asarray(layer.pos)
+            adj_dev, pos_dev = layer.device(self.store.capacity)
             connect_here = levels >= l
             if not connect_here.any():
                 # pure routing layer for this batch
@@ -238,14 +355,14 @@ class HNSWIndex:
                 metric=self._metric(), m=deg,
                 compute_dtype=self.compute_dtype,
             )
-            sel_np = np.asarray(sel_i)
-            # exclude nodes that don't belong to this layer and batch-mates
-            # (batch nodes aren't in the frozen graph being searched, so
-            # sel can't contain them; belonging is guaranteed by search)
+            sel_np = np.asarray(sel_i)[np.flatnonzero(connect_here)]  # [n, deg]
             rows = layer.pos[slots[connect_here]]
-            sel_for = sel_np[connect_here]
-            layer.adj[rows] = sel_for
-            self._add_reverse_edges(l, slots[connect_here], sel_for, dev)
+            layer.write_rows_dev(
+                rows,
+                jnp.asarray(sel_np),
+                (sel_np >= 0).sum(axis=1),
+            )
+            self._add_reverse_edges(l, slots[connect_here], sel_np, dev)
             # next layer entries: best candidate found here
             entries = jnp.where(cand_i[:, 0] >= 0, cand_i[:, 0], entries)
 
@@ -288,27 +405,30 @@ class HNSWIndex:
                 compute_dtype=self.compute_dtype,
             )
             rows = layer.pos[members]
-            layer.adj[rows] = np.asarray(sel_i)
+            layer.device(self.store.capacity)
+            sel_np = np.asarray(sel_i)
+            layer.write_rows_dev(rows, sel_i, (sel_np >= 0).sum(axis=1))
         self.entry_point = int(slots[int(np.argmax(levels))])
         self.current_max_level = int(levels.max(initial=0))
 
     def _add_reverse_edges(self, level: int, new_slots: np.ndarray,
                            sel: np.ndarray, dev) -> None:
         """Bidirectional linking (hnsw.go:413-459): append new -> target
-        back-edges; rows that overflow re-run the diversity selection in one
-        batched kernel call over all overflowed targets."""
+        back-edges on device; rows that would overflow re-run the diversity
+        selection in one batched kernel over all overflowed targets.
+
+        Host work is bookkeeping only (grouping by target via the per-row
+        fill counts); the adjacency itself never round-trips.
+        """
         layer = self._layer(level)
         deg = layer.deg
-        E_t, E_s = [], []
-        for src, row in zip(new_slots, sel):
-            for t in row:
-                if t >= 0:
-                    E_t.append(int(t))
-                    E_s.append(int(src))
-        if not E_t:
+        mask = sel >= 0
+        if not mask.any():
             return
-        targets = np.asarray(E_t, np.int32)
-        sources = np.asarray(E_s, np.int32)
+        targets = sel[mask].astype(np.int64)
+        sources = np.broadcast_to(
+            new_slots[:, None], sel.shape
+        )[mask].astype(np.int64)
         order = np.argsort(targets, kind="stable")
         targets, sources = targets[order], sources[order]
         uniq, starts, counts = np.unique(
@@ -319,45 +439,58 @@ class HNSWIndex:
         uniq, starts, counts, rows = uniq[live], starts[live], counts[live], rows[live]
         if len(uniq) == 0:
             return
-        cur = layer.adj[rows]  # [U, deg]
-        fill = (cur >= 0).sum(axis=1)
-        gmax = int(counts.max())
-        extra = np.full((len(uniq), gmax), -1, np.int32)
-        for ui in range(len(uniq)):
-            grp = sources[starts[ui] : starts[ui] + counts[ui]]
-            # skip sources already present
-            grp = grp[~np.isin(grp, cur[ui])]
-            extra[ui, : len(grp)] = grp
-
-        total = fill + (extra >= 0).sum(axis=1)
+        fill = layer.fill[rows].astype(np.int64)
+        total = fill + counts
         fits = total <= deg
-        # fast path: plain append for rows with room (hnswlib appends
-        # without pruning until the row is full)
-        for ui in np.flatnonzero(fits):
-            grp = extra[ui][extra[ui] >= 0]
-            if len(grp):
-                free = np.flatnonzero(cur[ui] < 0)[: len(grp)]
-                cur[ui, free] = grp[: len(free)]
-        layer.adj[rows[fits]] = cur[fits]
-        # overflow path: batched re-selection
+
+        # fast path: append into known-free cells (hnswlib appends without
+        # pruning until the row is full). Duplicate sources can't occur:
+        # every source is a new node this batch, absent from existing rows.
+        fit_idx = np.flatnonzero(fits)
+        if len(fit_idx):
+            app_rows, app_cols, app_vals = [], [], []
+            for ui in fit_idx:
+                grp = sources[starts[ui] : starts[ui] + counts[ui]]
+                base = fill[ui]
+                app_rows.extend([rows[ui]] * len(grp))
+                app_cols.extend(range(base, base + len(grp)))
+                app_vals.extend(grp)
+            layer.append_cells_dev(
+                np.asarray(app_rows, np.int64),
+                np.asarray(app_cols, np.int64),
+                np.asarray(app_vals, np.int32),
+            )
+            layer.fill[rows[fit_idx]] = total[fit_idx].astype(np.int16)
+
+        # overflow path: one fused device program re-selects all
+        # overflowed rows (gather + distances + diversity prune + write-back)
         over = np.flatnonzero(~fits)
         if len(over):
-            cands = np.concatenate([cur[over], extra[over]], axis=1)
-            t_slots = uniq[over]
-            q_vecs = jnp.asarray(self.store._np_vectors[t_slots])
-            c_ids = jnp.asarray(cands)
-            from quiver_tpu.ops.hnsw_kernels import _batched_distance
+            gmax = int(counts[over].max())
+            extra = np.full((len(over), gmax), -1, np.int32)
+            for k, ui in enumerate(over):
+                grp = sources[starts[ui] : starts[ui] + counts[ui]]
+                extra[k, : len(grp)] = grp
+            # bucket shapes to pow2 so kernels don't recompile per batch
+            U = _pow2(len(over))
+            E = _pow2(gmax)
+            extra = _pad_rows_to(
+                np.pad(extra, ((0, 0), (0, E - gmax)), constant_values=-1), U
+            )
+            rows_over = _pad_rows_to(rows[over].astype(np.int64), U, fill=0)
+            t_slots = _pad_rows_to(uniq[over].astype(np.int64), U, fill=0)
+            adj_dev, _ = layer.device(self.store.capacity)
+            from quiver_tpu.ops.hnsw_kernels import reverse_prune
 
-            c_vecs = dev.vectors[jnp.maximum(c_ids, 0)]
-            c_d = _batched_distance(q_vecs, c_vecs, self.store.metric,
-                                    self.compute_dtype)
-            c_d = jnp.where(c_ids >= 0, c_d, MASKED_DIST)
-            sel_i, _ = select_neighbors(
-                q_vecs, c_ids, c_d, dev.vectors,
+            new_adj, counts_dev = reverse_prune(
+                adj_dev, dev.vectors, jnp.asarray(rows_over),
+                jnp.asarray(extra), jnp.asarray(t_slots),
                 metric=self._metric(), m=deg,
                 compute_dtype=self.compute_dtype,
             )
-            layer.adj[rows[over]] = np.asarray(sel_i)
+            layer._adj_dev = new_adj
+            layer._host_stale = True
+            layer.fill[rows[over]] = np.asarray(counts_dev)[: len(over)].astype(np.int16)
 
     def _dirty(self) -> None:
         self._graph_version += 1
@@ -367,19 +500,9 @@ class HNSWIndex:
             return self._dev
         layers = []
         for l in range(self.current_max_level, 0, -1):
-            layer = self._layer(l)
-            adj = (
-                jnp.asarray(layer.adj)
-                if len(layer.adj)
-                else jnp.full((1, layer.deg), -1, jnp.int32)
-            )
-            layers.append((adj, jnp.asarray(layer.pos)))
-        adj0 = (
-            jnp.asarray(self.layer0.adj)
-            if len(self.layer0.adj)
-            else jnp.full((1, self.config.m0), -1, jnp.int32)
-        )
-        self._dev = (layers, adj0, jnp.asarray(self.layer0.pos))
+            layers.append(self._layer(l).device(self.store.capacity))
+        adj0, pos0 = self.layer0.device(self.store.capacity)
+        self._dev = (layers, adj0, pos0)
         self._dev_gen = self._graph_version
         return self._dev
 
@@ -485,8 +608,9 @@ class HNSWIndex:
         retrieve_k = k if negative is None else min(max(2 * k, 30), self.store.size)
         ef = max(c.ef_search, retrieve_k)
         dev = self.store.device_view()
-        qd = jnp.asarray(q)
-        B = q.shape[0]
+        q_pad, real_b = _pad_batch_pow2(q)
+        qd = jnp.asarray(q_pad)
+        B = q_pad.shape[0]
         entries = jnp.full((B,), self.entry_point, jnp.int32)
         layers, adj0, pos0 = self._device_graph()
         for adj, pos in layers:
@@ -501,16 +625,18 @@ class HNSWIndex:
             compute_dtype=self.compute_dtype,
         )
         if negative is not None:
-            neg = jnp.asarray(np.asarray(negative, np.float32))
-            if neg.ndim == 1:
-                neg = jnp.broadcast_to(neg[None, :], qd.shape)
+            neg_np = np.asarray(negative, np.float32)
+            if neg_np.ndim == 1:
+                neg_np = np.broadcast_to(neg_np[None, :], q.shape)
+            neg_np, _ = _pad_batch_pow2(np.ascontiguousarray(neg_np))
+            neg = jnp.asarray(neg_np)
             bd2, bi2 = bd[:, :retrieve_k], bi[:, :retrieve_k]
             bd, bi = negative_rerank(
                 bd2, bi2, dev.vectors, neg,
                 metric=self._metric(), k=k, weight=negative_weight,
             )
-        dist = np.asarray(bd[:, :k])
-        idx = np.asarray(bi[:, :k])
+        dist = np.asarray(bd[:real_b, :k])
+        idx = np.asarray(bi[:real_b, :k])
         # under-fill supplement (hnsw.go:676-710): if the graph returned
         # fewer than k live results (deletes can disconnect it), merge in
         # an exact scan

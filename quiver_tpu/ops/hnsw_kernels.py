@@ -41,9 +41,61 @@ def _batched_distance(q, vecs, metric, compute_dtype):
     )(q, vecs)
 
 
+def _compare_exchange(vals, stride: int):
+    """One bitonic stage: compare-exchange pairs at distance ``stride`` along
+    axis 1 for every array in ``vals`` (keys first). Pure VPU min/max/where —
+    no sort custom call (lax.top_k lowers to a full variadic sort on TPU,
+    which dominated the beam loop)."""
+    d = vals[0]
+    B, L = d.shape
+    shaped = [v.reshape(B, L // (2 * stride), 2, stride) for v in vals]
+    first_le = shaped[0][:, :, 0, :] <= shaped[0][:, :, 1, :]
+    out = []
+    for v in shaped:
+        lo = jnp.where(first_le, v[:, :, 0, :], v[:, :, 1, :])
+        hi = jnp.where(first_le, v[:, :, 1, :], v[:, :, 0, :])
+        out.append(jnp.stack([lo, hi], axis=2).reshape(B, L))
+    return out
+
+
+def bitonic_merge(a, b):
+    """Merge two ascending-sorted tuples (keys, *payloads) along axis 1.
+    a: [B, n], b: [B, m]; n + m must be a power of two. Returns ascending
+    [B, n+m] tuples. O(log(n+m)) VPU stages."""
+    # ascending ++ reversed(descending) is a bitonic sequence
+    vals = [
+        jnp.concatenate([va, vb[:, ::-1]], axis=1) for va, vb in zip(a, b)
+    ]
+    L = vals[0].shape[1]
+    stride = L // 2
+    while stride >= 1:
+        vals = _compare_exchange(vals, stride)
+        stride //= 2
+    return vals
+
+
+def bitonic_sort(vals):
+    """Full ascending sort of (keys, *payloads) along axis 1; width must be a
+    power of two. Merge-sort built on ``bitonic_merge`` — O(log^2 w) VPU
+    stages; for the small candidate blocks (deg <= 64) this beats the sort
+    custom call by a wide margin."""
+    B, L = vals[0].shape
+    w = 1
+    while w < L:
+        # merge adjacent sorted runs of width w pairwise
+        a = [v.reshape(B, L // w, w)[:, 0::2, :].reshape(-1, w) for v in vals]
+        b = [v.reshape(B, L // w, w)[:, 1::2, :].reshape(-1, w) for v in vals]
+        merged = bitonic_merge(a, b)
+        vals = [
+            m.reshape(B, L // (2 * w), 2 * w).reshape(B, L) for m in merged
+        ]
+        w *= 2
+    return vals
+
+
 @partial(
     jax.jit,
-    static_argnames=("metric", "ef", "max_iters", "compute_dtype"),
+    static_argnames=("metric", "ef", "max_iters", "compute_dtype", "expand"),
 )
 def beam_search(
     queries: jax.Array,  # f32[B, d]
@@ -57,8 +109,15 @@ def beam_search(
     ef: int,
     max_iters: int,
     compute_dtype=jnp.float32,
+    expand: int = 4,
 ):
     """Batched best-first beam search over one graph layer.
+
+    ``expand`` nearest unexpanded beam entries are expanded per iteration —
+    the serial gather->distance->merge dependency chain is the latency
+    bottleneck on TPU, so widening each step cuts the chain length ~expand x
+    for the same total distance evaluations (a standard accelerator-ANN
+    generalization of best-first search).
 
     Returns (dist f32[B, ef], ids i32[B, ef]) sorted ascending by distance;
     empty slots have id -1 / dist MASKED_DIST. Generic over layers: pass the
@@ -67,19 +126,26 @@ def beam_search(
     metric = DistanceType.parse(metric)
     B, d = queries.shape
     deg = adj.shape[1]
+    block = deg * expand  # candidate block per iteration
     ring_len = max(2 * ef, 128)
+    # beam width padded so beam + candidate block is a power of two (the
+    # merge is a bitonic network, not a sort custom call)
+    total = 1
+    while total < ef + block:
+        total *= 2
+    beam_len = total - block
 
-    # --- initial beam: the entry points
+    # --- initial beam: the entry points (sorted: one entry + MASKED fill)
     e_valid = (entries >= 0) & valid[jnp.maximum(entries, 0)]
     e_vecs = vectors[jnp.maximum(entries, 0)]
     e_dist = _batched_distance(queries, e_vecs[:, None, :], metric, compute_dtype)[:, 0]
     e_dist = jnp.where(e_valid, e_dist, MASKED_DIST)
 
-    beam_dist = jnp.full((B, ef), MASKED_DIST, jnp.float32).at[:, 0].set(e_dist)
-    beam_ids = jnp.full((B, ef), -1, jnp.int32).at[:, 0].set(
+    beam_dist = jnp.full((B, beam_len), MASKED_DIST, jnp.float32).at[:, 0].set(e_dist)
+    beam_ids = jnp.full((B, beam_len), -1, jnp.int32).at[:, 0].set(
         jnp.where(e_valid, entries, -1)
     )
-    beam_exp = jnp.zeros((B, ef), bool)
+    beam_exp = jnp.zeros((B, beam_len), bool)
     ring = jnp.full((B, ring_len), -1, jnp.int32).at[:, :1].set(beam_ids[:, :1])
 
     def cond(state):
@@ -89,61 +155,77 @@ def beam_search(
     def body(state):
         i, bd, bi, bexp, ring, done = state
         # 1. nearest unexpanded beam entry per query
-        cand_d = jnp.where(bexp | (bi < 0), MASKED_DIST, bd)
-        pos = jnp.argmin(cand_d, axis=1)  # [B]
-        cur = jnp.take_along_axis(bi, pos[:, None], axis=1)[:, 0]  # [B]
-        cur_d = jnp.take_along_axis(cand_d, pos[:, None], axis=1)[:, 0]
-        has_work = (cur >= 0) & (cur_d < MASKED_DIST)
+        # 1. the `expand` nearest unexpanded beam entries per query. The beam
+        # is sorted ascending, so these are the first `expand` unexpanded
+        # positions — selected branch-free via a running rank over ~bexp.
+        unexp = ~bexp & (bi >= 0)
+        rank = jnp.cumsum(unexp.astype(jnp.int32), axis=1) - 1  # rank among unexpanded
+        sel = unexp & (rank < expand)  # [B, beam_len] first `expand` unexpanded
+        cur_d0 = jnp.min(
+            jnp.where(unexp, bd, MASKED_DIST), axis=1
+        )  # nearest unexpanded distance
+        has_work = cur_d0 < MASKED_DIST
         # classic termination: nearest unexpanded is worse than the beam's
         # worst filled entry (hnsw.go:508-514)
         worst = jnp.max(jnp.where(bi >= 0, bd, -MASKED_DIST), axis=1)
-        beam_full = jnp.sum(bi >= 0, axis=1) >= ef
-        newly_done = ~has_work | (beam_full & (cur_d > worst))
+        beam_full = jnp.sum(bi >= 0, axis=1) >= beam_len
+        newly_done = ~has_work | (beam_full & (cur_d0 > worst))
         done = done | newly_done
         active = ~done
 
-        # 2. mark expanded
-        bexp = bexp | (
-            jax.nn.one_hot(pos, ef, dtype=bool) & active[:, None] & (bi >= 0)
-        )
+        # 2. mark them expanded; extract their ids into a dense [B, expand]
+        bexp = bexp | (sel & active[:, None])
+        # dense extraction: exactly one position holds rank j (or none)
+        sel_rank = jnp.where(sel, rank, -1)
+        curs = jnp.stack(
+            [
+                jnp.max(jnp.where(sel_rank == j, bi, -1), axis=1)
+                for j in range(expand)
+            ],
+            axis=1,
+        )  # [B, expand], -1 where fewer than j unexpanded remain
 
-        # 3. gather neighbor rows
-        row = pos_map[jnp.maximum(cur, 0)]  # [B]
-        nbrs = adj[jnp.maximum(row, 0)]  # [B, deg]
-        nbrs = jnp.where(((row >= 0) & active)[:, None], nbrs, -1)
+        # 3. gather neighbor rows for all expanded entries
+        rows = pos_map[jnp.maximum(curs, 0)]  # [B, expand]
+        rows_ok = (curs >= 0) & (rows >= 0) & active[:, None]
+        nbrs = adj[jnp.maximum(rows, 0)]  # [B, expand, deg]
+        nbrs = jnp.where(rows_ok[:, :, None], nbrs, -1).reshape(B, block)
 
         ok = (nbrs >= 0) & valid[jnp.maximum(nbrs, 0)]
-        # 4. dedup: drop anything already in the beam or recently visited
+        # 4. dedup: drop duplicates within the block (expanded nodes share
+        # neighbors), anything already in the beam, and the recently visited
+        eq = nbrs[:, :, None] == nbrs[:, None, :]
+        col = jax.lax.broadcasted_iota(jnp.int32, eq.shape, 2)
+        row_i = jax.lax.broadcasted_iota(jnp.int32, eq.shape, 1)
+        dup = jnp.any(eq & (col < row_i), axis=2)
         in_beam = jnp.any(nbrs[:, :, None] == bi[:, None, :], axis=2)
         in_ring = jnp.any(nbrs[:, :, None] == ring[:, None, :], axis=2)
-        ok = ok & ~in_beam & ~in_ring
+        ok = ok & ~dup & ~in_beam & ~in_ring
 
         # 5. record in the visited ring (rolling window)
-        offset = (i * deg) % ring_len
+        offset = (i * block) % ring_len
         ring = jax.lax.dynamic_update_slice(
             ring, jnp.where(ok, nbrs, -1), (0, offset)
         )
 
         # 6. batched distances to the gathered neighbors
-        n_vecs = vectors[jnp.maximum(nbrs, 0)]  # [B, deg, d]
+        n_vecs = vectors[jnp.maximum(nbrs, 0)]  # [B, block, d]
         n_dist = _batched_distance(queries, n_vecs, metric, compute_dtype)
         n_dist = jnp.where(ok, n_dist, MASKED_DIST)
 
-        # 7. merge into the beam: keep smallest ef of (beam + neighbors)
-        all_d = jnp.concatenate([bd, n_dist], axis=1)
-        all_i = jnp.concatenate([bi, nbrs], axis=1)
-        all_e = jnp.concatenate([bexp, jnp.zeros_like(ok)], axis=1)
-        neg_top, sel = jax.lax.top_k(-all_d, ef)
-        bd = -neg_top
-        bi = jnp.take_along_axis(all_i, sel, axis=1)
-        bexp = jnp.take_along_axis(all_e, sel, axis=1)
-        bi = jnp.where(bd >= MASKED_DIST, -1, bi)
+        # 7. merge into the beam via the bitonic network (sorted invariant):
+        # sort the candidate block, merge with the sorted beam, truncate
+        cd, ci, ce = bitonic_sort([n_dist, nbrs, jnp.zeros_like(ok)])
+        md, mi, me = bitonic_merge([bd, bi, bexp], [cd, ci, ce])
+        bd = md[:, :beam_len]
+        bi = jnp.where(bd >= MASKED_DIST, -1, mi[:, :beam_len])
+        bexp = me[:, :beam_len]
         return (i + 1, bd, bi, bexp, ring, done)
 
     init = (jnp.int32(0), beam_dist, beam_ids, beam_exp, ring,
             jnp.zeros((B,), bool))
     _, bd, bi, _, _, _ = jax.lax.while_loop(cond, body, init)
-    return bd, bi
+    return bd[:, :ef], bi[:, :ef]
 
 
 @partial(jax.jit, static_argnames=("metric", "max_iters", "compute_dtype"))
@@ -192,6 +274,39 @@ def greedy_descent(
             jnp.ones(queries.shape[0], bool))
     _, cd, ci, _ = jax.lax.while_loop(cond, body, init)
     return cd, ci
+
+
+@partial(jax.jit, static_argnames=("metric", "m", "compute_dtype"),
+         donate_argnums=(0,))
+def reverse_prune(
+    adj: jax.Array,  # i32[rows, deg] layer adjacency (donated, updated)
+    vectors: jax.Array,  # f32[cap, d]
+    rows: jax.Array,  # i64[U] adjacency rows to re-select
+    extra: jax.Array,  # i32[U, E] appended back-edge sources (-1 pad)
+    t_slots: jax.Array,  # i64[U] target vector slots
+    *,
+    metric: str,
+    m: int,
+    compute_dtype=jnp.float32,
+):
+    """Overflowed reverse-edge rows: ONE fused program that gathers the
+    current row + appended sources, recomputes distances to the target, runs
+    the diversity selection, and writes the pruned rows back. (Running these
+    steps eagerly costs one dispatch round-trip per primitive — ruinous on a
+    remote-dispatch link.) Returns (adj', counts[U])."""
+    cur = adj[rows]  # [U, deg]
+    c_ids = jnp.concatenate([cur, extra], axis=1)
+    q_vecs = vectors[t_slots].astype(jnp.float32)
+    c_vecs = vectors[jnp.maximum(c_ids, 0)]
+    c_d = _batched_distance(q_vecs, c_vecs, DistanceType.parse(metric),
+                            compute_dtype)
+    c_d = jnp.where(c_ids >= 0, c_d, MASKED_DIST)
+    sel_i, _ = select_neighbors(
+        q_vecs, c_ids, c_d, vectors, metric=metric, m=m,
+        compute_dtype=compute_dtype,
+    )
+    adj = adj.at[rows].set(sel_i)
+    return adj, (sel_i >= 0).sum(axis=1)
 
 
 @partial(jax.jit, static_argnames=("metric", "m", "compute_dtype"))
