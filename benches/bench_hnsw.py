@@ -1,0 +1,47 @@
+"""BASELINE config #2: HNSW build + query (SIFT-like 128-d L2).
+
+Build wall-clock, batched query QPS, recall@10 vs the exact oracle at the
+default ef sweep. N via QUIVER_BENCH_N (default 50k; SIFT-1M shape at 1M).
+"""
+
+import time
+
+import numpy as np
+
+from benches.common import emit, env_int, make_corpus, pipelined_ms, recall_at_k
+
+
+def main():
+    import jax.numpy as jnp
+
+    from quiver_tpu.core.store import VectorStore
+    from quiver_tpu.index.exact import ExactIndex
+    from quiver_tpu.index.hnsw import HNSWIndex
+
+    N = env_int("QUIVER_BENCH_N", 50_000)
+    D, B, K = 128, 256, 10
+    vecs, rng = make_corpus(N, D)
+    store = VectorStore(dim=D, metric="euclidean", capacity=max(N, 1024))
+    idx = HNSWIndex(store, build_batch=env_int("QUIVER_BENCH_BUILD_BATCH", 8192),
+                    compute_dtype=jnp.bfloat16)
+    t0 = time.perf_counter()
+    slots = store.add_batch([f"v{i}" for i in range(N)], vecs)
+    idx.on_insert(slots, vecs)
+    build_s = time.perf_counter() - t0
+    emit(f"hnsw build wall-clock, N={N} d={D} M=16 efC=200", build_s, "s",
+         inserts_per_s=round(N / build_s, 1))
+
+    queries = rng.normal(size=(B, D)).astype(np.float32)
+    exact = ExactIndex(store, compute_dtype=jnp.bfloat16, approx_recall=0.95)
+    _, truth = exact.search_slots(queries, K)
+    for ef in (50, 100, 200):
+        idx.config.ef_search = ef
+        _, got = idx.search_slots(queries, K)
+        rec = recall_at_k(got, truth, K)
+        ms = pipelined_ms(lambda: idx.search_slots(queries, K), depth=4)
+        emit(f"hnsw query QPS, N={N} ef={ef}", B / (ms / 1e3), "qps",
+             recall_at_10=round(rec, 4))
+
+
+if __name__ == "__main__":
+    main()

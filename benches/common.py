@@ -1,0 +1,55 @@
+"""Shared benchmark helpers. All benches print one JSON line per metric.
+
+Timing rule for this environment: block_until_ready is unreliable through
+the axon tunnel — only a host fetch (np.asarray) marks real completion
+(.claude/skills/verify/SKILL.md). Throughput is measured pipelined.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def emit(metric: str, value: float, unit: str, **extra) -> None:
+    print(json.dumps({"metric": metric, "value": round(value, 3),
+                      "unit": unit, **extra}), flush=True)
+
+
+def env_int(name: str, default: int) -> int:
+    return int(os.environ.get(name, default))
+
+
+def pipelined_ms(fn, depth: int = 16, rounds: int = 3) -> float:
+    """Wall-clock ms per call, pipelined `depth` deep, best of `rounds`."""
+    _ = np.asarray(_first_leaf(fn()))
+    best = float("inf")
+    for _r in range(rounds):
+        t0 = time.perf_counter()
+        outs = [fn() for _ in range(depth)]
+        _ = np.asarray(_first_leaf(outs[-1]))
+        best = min(best, (time.perf_counter() - t0) / depth)
+    return best * 1e3
+
+
+def _first_leaf(x):
+    import jax
+
+    leaves = jax.tree.leaves(x)
+    for leaf in leaves:
+        if hasattr(leaf, "shape"):
+            return leaf
+    return np.zeros(1)  # host-materialized result: already synchronous
+
+
+def make_corpus(n: int, d: int, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n, d)).astype(np.float32), rng
+
+
+def recall_at_k(got_idx, truth_idx, k: int) -> float:
+    return float(np.mean([
+        len(set(got_idx[b].tolist()) & set(truth_idx[b].tolist())) / k
+        for b in range(len(got_idx))
+    ]))
