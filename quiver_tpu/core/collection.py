@@ -145,8 +145,10 @@ class Collection:
             if hasattr(self.engine, "on_insert"):
                 self.engine.on_insert(slots, vecs)
             if self.wal is not None:
-                for vid, vec, md in zip(ids, vecs, metadatas):
-                    self.wal.append("add", vid, vector=vec, metadata=md)
+                self.wal.append_many(
+                    ("add", vid, vec, md)
+                    for vid, vec, md in zip(ids, vecs, metadatas)
+                )
         ms = (time.perf_counter() - t0) * 1e3
         if len(ids) == 1:
             metrics.record_insert(self.name, ms)
@@ -229,12 +231,11 @@ class Collection:
             if vectors is not None and hasattr(self.engine, "on_update"):
                 self.engine.on_update(np.asarray(slots), as_f32_matrix(vectors, self.dim))
             if self.wal is not None:
-                for vid, slot in zip(ids, slots):
-                    self.wal.append(
-                        "add", vid,
-                        vector=self.store.vector_of_slot(slot),
-                        metadata=self.store.metadata_of_slot(slot),
-                    )
+                self.wal.append_many(
+                    ("add", vid, self.store.vector_of_slot(slot),
+                     self.store.metadata_of_slot(slot))
+                    for vid, slot in zip(ids, slots)
+                )
         self._notify_write()
 
     def delete(self, vec_id: str) -> bool:
@@ -250,8 +251,9 @@ class Collection:
             if hasattr(self.engine, "on_delete"):
                 self.engine.on_delete(np.asarray(slots))
             if self.wal is not None:
-                for vid in deletable:
-                    self.wal.append("delete", vid)
+                self.wal.append_many(
+                    ("delete", vid, None, None) for vid in deletable
+                )
         metrics = global_metrics()
         metrics.record_delete(self.name, n)
         metrics.set_index_size(self.name, self.store.size)

@@ -140,7 +140,7 @@ class DB:
         self._collections[coll.name] = coll
         if self.persistence:
             coll.add_write_listener(self.persistence.mark_dirty)
-            coll.wal = self.persistence.wal(coll.name)
+            coll.wal = self.persistence.wal_handle(coll.name)
 
     def get_collection(self, name: str) -> Collection:
         coll = self._collections.get(name)

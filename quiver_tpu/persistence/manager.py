@@ -78,9 +78,8 @@ class WalWriter:
         self.path = path
         self._lock = threading.Lock()
 
-    def append(self, entry_type: str, vec_id: str,
-               vector: Optional[np.ndarray] = None,
-               metadata: Optional[dict] = None) -> None:
+    @staticmethod
+    def _entry_line(entry_type: str, vec_id: str, vector, metadata) -> str:
         entry = {
             "timestamp": time.time(),
             "type": entry_type,
@@ -90,17 +89,41 @@ class WalWriter:
             entry["vector"] = np.asarray(vector, np.float32).tolist()
         if metadata is not None:
             entry["metadata"] = metadata
-        line = json.dumps(entry, separators=(",", ":")) + "\n"
+        return json.dumps(entry, separators=(",", ":")) + "\n"
+
+    def append(self, entry_type: str, vec_id: str,
+               vector: Optional[np.ndarray] = None,
+               metadata: Optional[dict] = None) -> None:
+        self.append_many([(entry_type, vec_id, vector, metadata)])
+
+    def append_many(self, entries) -> None:
+        """Group commit: one write + ONE fsync for a whole batch (the
+        per-entry-fsync alternative caps ingest at the disk's fsync rate)."""
+        lines = "".join(self._entry_line(*e) for e in entries)
         with self._lock:
             with open(self.path, "a") as f:
-                f.write(line)
+                f.write(lines)
                 f.flush()
                 os.fsync(f.fileno())
 
 
+def read_wal_any(path: str) -> list[dict]:
+    """Read a WAL in either format: CRC-framed (native writer) first, then
+    JSON-lines (Python writer)."""
+    try:
+        from quiver_tpu import native
+
+        entries = native.read_native_wal(path)
+        if entries:
+            return entries
+    except Exception:
+        pass
+    return read_wal(path)
+
+
 def read_wal(path: str) -> list[dict]:
     entries = []
-    with open(path) as f:
+    with open(path, errors="replace") as f:
         for line in f:
             line = line.strip()
             if not line:
@@ -111,6 +134,22 @@ def read_wal(path: str) -> list[dict]:
                 # torn tail write after a crash: stop at the first bad line
                 break
     return entries
+
+
+class WalHandle:
+    """Stable per-collection WAL facade: resolves the live writer at call
+    time, so truncation (which closes and recreates writers) can't leave
+    collections appending into a closed handle."""
+
+    def __init__(self, manager: "PersistenceManager", name: str):
+        self._manager = manager
+        self._name = name
+
+    def append(self, *a, **kw) -> None:
+        self._manager.wal(self._name).append(*a, **kw)
+
+    def append_many(self, entries) -> None:
+        self._manager.wal(self._name).append_many(entries)
 
 
 class PersistenceManager:
@@ -149,6 +188,10 @@ class PersistenceManager:
             self._thread.join(timeout=5)
             self._thread = None
         self.flush_dirty()
+        for w in self._wals.values():
+            if hasattr(w, "close"):
+                w.close()
+        self._wals.clear()
 
     def _background_flush(self) -> None:
         while not self._stop.wait(self.flush_interval_s):
@@ -174,9 +217,24 @@ class PersistenceManager:
 
     # ------------------------------------------------------------------ wal
 
-    def wal(self, name: str) -> WalWriter:
+    def wal_handle(self, name: str) -> WalHandle:
+        return WalHandle(self, name)
+
+    def wal(self, name: str):
         if name not in self._wals:
-            self._wals[name] = WalWriter(self._wal_path(name))
+            path = self._wal_path(name)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            try:
+                from quiver_tpu import native
+
+                if native.available():
+                    # CRC32C-framed group-commit writer (C++); exact
+                    # torn-tail detection instead of the JSON heuristic
+                    self._wals[name] = native.NativeWalWriter(path)
+                else:
+                    self._wals[name] = WalWriter(path)
+            except Exception:
+                self._wals[name] = WalWriter(path)
         return self._wals[name]
 
     def _wal_path(self, name: str) -> str:
@@ -184,6 +242,9 @@ class PersistenceManager:
 
     def truncate_wal(self, name: str) -> None:
         """Delete WAL after a successful flush (manager.go:488-507)."""
+        w = self._wals.pop(name, None)
+        if w is not None and hasattr(w, "close"):
+            w.close()
         try:
             os.remove(self._wal_path(name))
         except FileNotFoundError:
@@ -312,7 +373,7 @@ class PersistenceManager:
         wal_path = self._wal_path(name)
         if os.path.exists(wal_path):
             by_id = {i: (v, m) for i, v, m in zip(ids, vectors, metadatas)}
-            for entry in read_wal(wal_path):
+            for entry in read_wal_any(wal_path):
                 et = entry.get("type")
                 vid = entry.get("vector_id")
                 if et == "add" and "vector" in entry:

@@ -16,6 +16,7 @@ from quiver_tpu.persistence.manager import (
     CollectionConfig,
     PersistenceManager,
     read_wal,
+    read_wal_any,
 )
 from quiver_tpu.persistence.parquet_io import (
     read_vectors_json,
@@ -112,7 +113,7 @@ def test_wal_torn_tail_tolerated(tmp_path):
     w.append("add", "a", vector=np.ones(D, np.float32))
     with open(mgr._wal_path("c"), "a") as f:
         f.write('{"type": "add", "vector_id": "torn...')  # simulated crash
-    entries = read_wal(mgr._wal_path("c"))
+    entries = read_wal_any(mgr._wal_path("c"))
     assert len(entries) == 1 and entries[0]["vector_id"] == "a"
 
 
@@ -243,3 +244,50 @@ def test_db_options_validation():
         DBOptions(flush_interval_s=-1).validate()
     with pytest.raises(ValueError):
         DBOptions(storage_path="", enable_persistence=True).validate()
+
+
+# ------------------------------------------------------------- native WAL
+
+def test_native_wal_roundtrip(tmp_path):
+    native = pytest.importorskip("quiver_tpu.native")
+    if not native.available():
+        pytest.skip("libquiver_wal.so not built")
+    p = str(tmp_path / "n.wal")
+    w = native.NativeWalWriter(p)
+    w.append("add", "a", vector=np.ones(D, np.float32), metadata={"k": 1})
+    w.append_many([("add", "b", np.zeros(D, np.float32), None),
+                   ("delete", "a", None, None)])
+    w.close()
+    entries = native.read_native_wal(p)
+    assert [e["type"] for e in entries] == ["add", "add", "delete"]
+    assert entries[0]["metadata"] == {"k": 1}
+
+
+def test_native_wal_torn_tail_cut_exactly(tmp_path):
+    native = pytest.importorskip("quiver_tpu.native")
+    if not native.available():
+        pytest.skip("libquiver_wal.so not built")
+    p = str(tmp_path / "t.wal")
+    w = native.NativeWalWriter(p)
+    w.append("add", "a", vector=np.ones(D, np.float32))
+    w.close()
+    with open(p, "ab") as f:
+        f.write(b"\x50\x00\x00\x00garbage-partial-frame")  # torn write
+    entries = native.read_native_wal(p)
+    assert len(entries) == 1 and entries[0]["vector_id"] == "a"
+
+
+def test_db_uses_native_wal_and_recovers(tmp_path):
+    from quiver_tpu import native
+    if not native.available():
+        pytest.skip("libquiver_wal.so not built")
+    db = DB(opts(tmp_path))
+    c, vecs = seed(db, n=6)
+    # the collection holds a stable handle; the manager's live writer is native
+    assert isinstance(db.persistence.wal("c1"), native.NativeWalWriter)
+    del db  # crash without flush
+    db2 = DB(opts(tmp_path))
+    assert db2.get_collection("c1").size == 6
+    r = db2.get_collection("c1").search(SearchRequest(vector=vecs[2], top_k=1))
+    assert r.results[0].id == "v2"
+    db2.close()
