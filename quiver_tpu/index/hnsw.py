@@ -68,6 +68,31 @@ def _pad_batch_pow2(q: np.ndarray, min_rows: int = 8):
     return np.concatenate([q, np.zeros((cap - n,) + q.shape[1:], q.dtype)]), n
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("kk", "metric", "compute_dtype"))
+def _intra_batch_candidates(q, batch_slots, member, cand_d, cand_i, *,
+                            kk, metric, compute_dtype):
+    """Exact kNN among the insert batch itself, merged into the beam's
+    candidate set (one [B, B] MXU matmul; batch-mates are invisible to the
+    frozen-graph search)."""
+    from quiver_tpu.ops.distance import pairwise_distance
+
+    B = q.shape[0]
+    dist = pairwise_distance(q, q, metric, compute_dtype=compute_dtype)
+    eye = jnp.eye(B, dtype=bool)
+    ok = member[None, :] & member[:, None] & ~eye
+    dist = jnp.where(ok, dist, MASKED_DIST)
+    neg_top, idx = jax.lax.top_k(-dist, kk)
+    intra_d = -neg_top
+    intra_i = jnp.where(intra_d < MASKED_DIST, batch_slots[idx], -1)
+    return (
+        jnp.concatenate([cand_d, intra_d], axis=1),
+        jnp.concatenate([cand_i, intra_i], axis=1),
+    )
+
+
 @dataclass
 class HNSWConfig:
     """Defaults mirror the reference (hnsw.go:16-25, 219-250)."""
@@ -82,6 +107,10 @@ class HNSWConfig:
     #: the per-round dispatch overhead (dominant on remote-dispatch links;
     #: ~8 device calls + 2 host syncs per connected level per round).
     build_batch: int = 4096
+    #: merge exact intra-batch kNN candidates into neighbor selection —
+    #: batch members search the FROZEN graph and would otherwise be blind
+    #: to each other, which degrades recall as batch/corpus ratio grows
+    intra_batch_links: bool = True
     seed: int = 42
 
 
@@ -350,6 +379,15 @@ class HNSWIndex:
                 compute_dtype=self.compute_dtype,
             )
             deg = layer.deg
+            if c.intra_batch_links:
+                # batch members can't find each other in the frozen graph;
+                # add exact intra-batch kNN candidates before selection
+                cand_d, cand_i = _intra_batch_candidates(
+                    q, jnp.asarray(slots.astype(np.int32)),
+                    jnp.asarray(connect_here), cand_d, cand_i,
+                    kk=min(_pow2(2 * deg, lo=16), B),
+                    metric=self._metric(), compute_dtype=self.compute_dtype,
+                )
             sel_i, sel_d = select_neighbors(
                 q, cand_i, cand_d, dev.vectors,
                 metric=self._metric(), m=deg,
