@@ -294,6 +294,7 @@ class Collection:
             filt,
             req.negative_example is not None,
             float(req.negative_weight),
+            req.strategy,
         )
 
     def _search_group(self, requests: list[SearchRequest]) -> list[SearchResponse]:
@@ -343,11 +344,14 @@ class Collection:
             # reference behavior: retrieve everything, post-filter to true
             # top-k (collection.go:679-682)
             search_k = self.store.size
-        dist, slots = self._engine_search(
-            queries, search_k, mask=mask, negative=negative,
+        engine_kw = dict(
+            mask=mask, negative=negative,
             negative_weight=req0.negative_weight,
             exact=req0.options.exact_search,
         )
+        if req0.strategy is not None and hasattr(self.engine, "selector"):
+            engine_kw["strategy"] = req0.strategy
+        dist, slots = self._engine_search(queries, search_k, **engine_kw)
         traversal_ms = (time.perf_counter() - t_t0) * 1e3
 
         # --- post-filter + assemble
@@ -520,6 +524,8 @@ class FluentSearch:
         self._namespace = ""
         self._negative = None
         self._negative_weight = 0.5
+        self._strategy = None
+        self._include_stats = False
 
     def with_k(self, k: int) -> "FluentSearch":
         if k <= 0:
@@ -575,9 +581,25 @@ class FluentSearch:
         self._negative_weight = float(w)
         return self
 
+    def with_strategy(self, strategy: str) -> "FluentSearch":
+        """Force exact|hnsw (reference FluentHybridSearch.WithStrategy,
+        pkg/hybrid/hybrid_index.go:814-881)."""
+        if strategy not in ("exact", "hnsw"):
+            self._err = self._err or f"unknown strategy {strategy!r}"
+        self._strategy = strategy
+        return self
+
+    def include_stats(self) -> "FluentSearch":
+        """Attach engine stats to the response metadata (reference
+        IncludeStats, hybrid_index.go:814-881)."""
+        self._include_stats = True
+        return self
+
     def execute(self) -> SearchResponse:
         if self._err:
             raise ValueError(self._err)
+        if self._strategy == "exact":
+            self._opts.exact_search = True
         req = SearchRequest(
             vector=self._vector,
             top_k=self._k,
@@ -586,5 +608,9 @@ class FluentSearch:
             namespace_id=self._namespace,
             negative_example=self._negative,
             negative_weight=self._negative_weight,
+            strategy=self._strategy,
         )
-        return self._c.search(req)
+        resp = self._c.search(req)
+        if self._include_stats and hasattr(self._c.engine, "stats"):
+            resp.metadata.engine_stats = self._c.engine.stats()
+        return resp

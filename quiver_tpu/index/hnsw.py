@@ -544,6 +544,42 @@ class HNSWIndex:
         self._dev_gen = self._graph_version
         return self._dev
 
+    # ----------------------------------------------------------- tunables
+
+    def get_optimization_parameters(self) -> dict:
+        """Tunables surface (reference GetOptimizationParameters,
+        pkg/hnsw/adapter.go:175-190)."""
+        c = self.config
+        return {
+            "ef_search": c.ef_search,
+            "ef_construction": c.ef_construction,
+            "m": c.m,
+            "m0": c.m0,
+        }
+
+    def set_optimization_parameters(self, **params) -> None:
+        """Only ef_search is settable post-build, like the reference
+        (adapter.go:175-190); construction parameters are immutable."""
+        if "ef_search" in params:
+            ef = int(params["ef_search"])
+            if ef <= 0:
+                raise ValueError("ef_search must be positive")
+            self.config.ef_search = ef
+        unknown = set(params) - {"ef_search"}
+        if unknown:
+            raise ValueError(f"immutable or unknown parameters: {sorted(unknown)}")
+
+    def get_detailed_metrics(self) -> dict:
+        """(reference GetDetailedMetrics, adapter.go:312-334)."""
+        return {
+            "size": self.size,
+            "entry_point": self.entry_point,
+            "max_level": self.current_max_level,
+            "layer_nodes": [len(self.layer0.nodes)]
+            + [len(l.nodes) for l in self.layers],
+            "config": self.get_optimization_parameters(),
+        }
+
     # ---------------------------------------------------------- persistence
 
     def export_topology(self) -> Optional[dict]:

@@ -280,6 +280,15 @@ class HybridIndex:
         )
         return dist, slots
 
+    def get_optimization_parameters(self) -> dict:
+        return self.hnsw.get_optimization_parameters()
+
+    def set_optimization_parameters(self, **params) -> None:
+        self.hnsw.set_optimization_parameters(**params)
+
+    def get_detailed_metrics(self) -> dict:
+        return {"hnsw": self.hnsw.get_detailed_metrics(), **self.stats()}
+
     def export_topology(self):
         if not self._graph_built:
             return None

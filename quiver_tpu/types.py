@@ -83,6 +83,7 @@ class SearchRequest:
     namespace_id: str = ""
     negative_example: Any = None  # optional array-like, float32[d]
     negative_weight: float = 0.5
+    strategy: Optional[str] = None  # force exact|hnsw on hybrid engines
 
 
 @dataclass
@@ -121,6 +122,7 @@ class SearchResponseMetadata:
     index_name: str = ""
     timestamp: float = field(default_factory=time.time)
     strategy: str = ""  # which engine served the query (exact|hnsw)
+    engine_stats: Optional[dict] = None  # attached by fluent include_stats
 
 
 @dataclass

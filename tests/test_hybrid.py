@@ -148,3 +148,37 @@ def test_stats_shape():
     st = idx.stats()
     assert "selector" in st and "per_strategy_queries" in st
     assert st["selector"]["exact_threshold"] > 0
+
+
+def test_optimization_parameters_surface():
+    store, idx, _ = build_hybrid(n=120)
+    p = idx.get_optimization_parameters()
+    assert p["ef_search"] == 100 and p["m"] == 16
+    idx.set_optimization_parameters(ef_search=64)
+    assert idx.get_optimization_parameters()["ef_search"] == 64
+    with pytest.raises(ValueError, match="immutable"):
+        idx.set_optimization_parameters(m=8)
+    with pytest.raises(ValueError, match="positive"):
+        idx.set_optimization_parameters(ef_search=0)
+    dm = idx.get_detailed_metrics()
+    assert "hnsw" in dm and dm["hnsw"]["size"] == 120
+
+
+def test_fluent_strategy_and_stats():
+    import numpy as np
+    from quiver_tpu.core.collection import Collection
+    from quiver_tpu.index.hybrid import HybridIndex
+
+    rng = np.random.default_rng(0)
+    c = Collection("fl", 8, "euclidean",
+                   engine_factory=lambda s: HybridIndex(s, build_batch=64,
+                                                        adaptive_config=no_explore()))
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    c.add_batch([f"v{i}" for i in range(50)], vecs)
+    resp = (c.fluent_search(vecs[0]).with_k(3).with_strategy("exact")
+            .include_stats().execute())
+    assert resp.results[0].id == "v0"
+    assert resp.metadata.strategy == "exact"
+    assert resp.metadata.engine_stats is not None
+    with pytest.raises(ValueError, match="unknown strategy"):
+        c.fluent_search(vecs[0]).with_strategy("bogus").execute()
