@@ -31,6 +31,7 @@ def _load():
         lib.qwal_append.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                     ctypes.c_uint32]
         lib.qwal_sync.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        lib.qwal_truncate.argtypes = [ctypes.c_void_p]
         lib.qwal_close.argtypes = [ctypes.c_void_p]
         lib.qwal_read_frames.restype = ctypes.c_uint64
         lib.qwal_read_frames.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
@@ -80,6 +81,11 @@ class NativeWalWriter:
             seq = self._lib.qwal_append(self._h, payload, len(payload))
         if seq:
             self._lib.qwal_sync(self._h, seq)  # durable before returning
+
+    def truncate(self) -> None:
+        """In-place log truncation (safe under concurrent appends)."""
+        if self._h:
+            self._lib.qwal_truncate(self._h)
 
     def close(self) -> None:
         if self._h:

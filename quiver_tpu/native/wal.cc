@@ -135,6 +135,16 @@ void qwal_sync(Wal* w, uint64_t seq) {
   w->cv_done.wait(lk, [&] { return w->durable >= target; });
 }
 
+// Truncate the log file in place (post-flush). The writer object and its
+// fd stay alive, so concurrent appenders are safe; records still queued
+// (post-snapshot writes in flight) survive and commit after truncation.
+void qwal_truncate(Wal* w) {
+  if (!w) return;
+  std::lock_guard<std::mutex> lk(w->mu);
+  ::ftruncate(w->fd, 0);
+  ::lseek(w->fd, 0, SEEK_SET);
+}
+
 void qwal_close(Wal* w) {
   if (!w) return;
   {

@@ -168,6 +168,8 @@ class PersistenceManager:
         self.get_collection = get_collection
         self._dirty: set[str] = set()
         self._dirty_lock = threading.Lock()
+        self._wal_lock = threading.Lock()
+        self._flush_locks: dict[str, threading.Lock] = {}
         self._wals: dict[str, WalWriter] = {}
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -221,6 +223,10 @@ class PersistenceManager:
         return WalHandle(self, name)
 
     def wal(self, name: str):
+        with self._wal_lock:
+            return self._wal_locked(name)
+
+    def _wal_locked(self, name: str):
         if name not in self._wals:
             path = self._wal_path(name)
             os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -241,10 +247,17 @@ class PersistenceManager:
         return os.path.join(self.root, name, f"{name}.wal")
 
     def truncate_wal(self, name: str) -> None:
-        """Delete WAL after a successful flush (manager.go:488-507)."""
-        w = self._wals.pop(name, None)
-        if w is not None and hasattr(w, "close"):
-            w.close()
+        """Truncate the WAL after a successful flush (manager.go:488-507).
+        Native writers truncate IN PLACE (destroying a writer that another
+        thread is appending to is a use-after-free); the Python writer has
+        no shared native state, so its file is simply removed."""
+        with self._wal_lock:
+            w = self._wals.get(name)
+        if w is not None and hasattr(w, "truncate"):
+            w.truncate()
+            return
+        with self._wal_lock:
+            self._wals.pop(name, None)
         try:
             os.remove(self._wal_path(name))
         except FileNotFoundError:
@@ -277,7 +290,16 @@ class PersistenceManager:
     def flush_collection(self, collection) -> None:
         """Snapshot a collection (reference FlushCollection,
         manager.go:267-351): vectors.parquet (JSON fallback) + config.json,
-        then truncate the WAL."""
+        then truncate the WAL. Serialized per collection: concurrent
+        flushes (background loop + explicit backup) share tmp paths and
+        would interleave writes."""
+        name = collection.name
+        with self._wal_lock:
+            lock = self._flush_locks.setdefault(name, threading.Lock())
+        with lock:
+            self._flush_collection_locked(collection)
+
+    def _flush_collection_locked(self, collection) -> None:
         name = collection.name
         cdir = self.collection_dir(name)
         os.makedirs(cdir, exist_ok=True)

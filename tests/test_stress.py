@@ -120,7 +120,10 @@ def test_concurrent_flush_and_writes(tmp_path):
     for t in ts:
         t.start()
     for t in ts:
-        t.join(timeout=120)
+        # generous: fsync-heavy writers crawl when the whole suite hammers
+        # the same disk; a silent timeout here would truncate the test
+        t.join(timeout=600)
+        assert not t.is_alive(), "worker did not finish; raise the timeout"
     assert not errors, errors
     db.persistence.flush_collection(c)
     db.close()
