@@ -34,4 +34,8 @@ def make_engine(kind: str, store, **cfg):
         from quiver_tpu.index.hybrid import HybridIndex
 
         return HybridIndex(store, **cfg)
+    if kind == "sharded_exact":
+        from quiver_tpu.parallel.sharded import ShardedExactIndex
+
+        return ShardedExactIndex(store, **cfg)
     raise ValueError(f"unknown index engine: {kind!r}")

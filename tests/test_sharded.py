@@ -95,3 +95,19 @@ def test_collection_with_sharded_engine(mesh):
                                   filters=[Filter("p", "=", 1)]))
     assert all(int(r.id[1:]) % 3 == 1 for r in resp.results)
     assert resp.results[0].id == "x7"
+
+
+def test_sharded_engine_via_db(tmp_path, mesh):
+    from quiver_tpu.core.db import DB, DBOptions
+    from quiver_tpu.types import SearchRequest
+
+    db = DB(DBOptions(storage_path=str(tmp_path / "d"), flush_interval_s=0,
+                      default_engine="sharded_exact",
+                      engine_config={"mesh": mesh}))
+    c = db.create_collection("dist", D, "euclidean")
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(300, D)).astype(np.float32)
+    c.add_batch([f"v{i}" for i in range(300)], vecs)
+    r = c.search(SearchRequest(vector=vecs[9], top_k=1))
+    assert r.results[0].id == "v9"
+    db.close()
