@@ -63,6 +63,44 @@ def _topk_smallest(dist, k: int, approx_recall: float | None):
     return -neg, idx
 
 
+def _topk_largest(score, k: int, approx_recall: float | None):
+    if approx_recall is None:
+        return jax.lax.top_k(score, k)
+    return jax.lax.approx_max_k(score, k, recall_target=approx_recall)
+
+
+NEG_BIG = jnp.float32(-3.0e38)
+
+
+def _affine_scores(q, v, metric, v_norms_sq, v_inv_norms, compute_dtype):
+    """Monotonic larger-is-better scores: ONE matmul + one fused affine.
+
+    Ranking never needs the full distance — per-row constants (||q||, 1/||q||)
+    and monotone transforms (sqrt, 1-x) are dropped, which removes billions of
+    transcendental ops per scan; true distances are reconstructed for the k
+    winners only (exact f32 rescore)."""
+    dots = jnp.dot(
+        q.astype(compute_dtype),
+        v.astype(compute_dtype).T,
+        preferred_element_type=jnp.float32,
+    )
+    if metric == DistanceType.COSINE:
+        return dots * v_inv_norms[None, :]  # q_inv > 0 is per-row constant
+    if metric == DistanceType.DOT_PRODUCT:
+        return dots
+    # euclidean family: d^2 = ||q||^2 + ||v||^2 - 2 q.v  ->  2 q.v - ||v||^2
+    return 2.0 * dots - v_norms_sq[None, :]
+
+
+def _rescore_winners(q, vectors, idx, metric):
+    """Exact f32 distances for the selected rows (tiny [B, k] gather)."""
+    B, k = idx.shape
+    rows = vectors[jnp.maximum(idx, 0)].astype(jnp.float32)  # [B, k, d]
+    qb = jnp.broadcast_to(q[:, None, :], rows.shape).reshape(-1, q.shape[1])
+    dist = distance_pairs(qb, rows.reshape(-1, q.shape[1]), metric)
+    return dist.reshape(B, k)
+
+
 @partial(
     jax.jit,
     static_argnames=("metric", "k", "tile", "compute_dtype", "approx_recall"),
@@ -112,9 +150,28 @@ def flat_scan_topk(
     q = q.astype(jnp.float32)
     per_query_mask = mask is not None and mask.ndim == 2
 
+    if metric != DistanceType.MANHATTAN and B * cap * 4 <= SINGLE_SHOT_BUDGET_BYTES:
+        # Single-shot: one matmul + one fused affine score + top-k; true
+        # distances reconstructed for the winners only.
+        score = _affine_scores(
+            q, vectors, metric, v_norms_sq, v_inv_norms, compute_dtype
+        )
+        keep = valid[None, :]
+        if mask is not None:
+            keep = keep & (mask if per_query_mask else mask[None, :])
+        score = jnp.where(keep, score, NEG_BIG)
+        best_score, best_idx = _topk_largest(score, k, approx_recall)
+        found = best_score > NEG_BIG
+        best_dist = _rescore_winners(q, vectors, best_idx, metric)
+        # stable exact ordering of the winners by true distance
+        best_dist = jnp.where(found, best_dist, MASKED_DIST)
+        neg_top, pos = jax.lax.top_k(-best_dist, k)
+        best_dist = -neg_top
+        best_idx = jnp.take_along_axis(best_idx, pos, axis=1)
+        return best_dist, jnp.where(best_dist >= MASKED_DIST, -1, best_idx)
+
     if B * cap * 4 <= SINGLE_SHOT_BUDGET_BYTES:
-        # Single-shot: one matmul over the whole corpus; XLA fuses the
-        # mask + top-k consumer, which beats a scan-carried merge by >10x.
+        # Manhattan: no matmul form — full distances single-shot
         dist = pairwise_distance(
             q,
             vectors,
@@ -146,26 +203,30 @@ def flat_scan_topk(
         jnp.full((B, k), MASKED_DIST, jnp.float32),
         jnp.full((B, k), -1, jnp.int32),
     )
+    use_affine = metric != DistanceType.MANHATTAN
+
     def body(carry, xs):
         i, v_t, valid_t, ns_t, in_t, m_t = xs
-        best_dist, best_idx = carry
-        dist = pairwise_distance(
-            q,
-            v_t,
-            metric,
-            v_norms_sq=ns_t,
-            v_inv_norms=in_t,
-            compute_dtype=compute_dtype,
-        )
+        best_key, best_idx = carry
+        if use_affine:
+            # larger-is-better affine score; carry merges on NEGATED score
+            # so the generic smallest-k merge applies
+            score = _affine_scores(q, v_t, metric, ns_t, in_t, compute_dtype)
+            key = -score
+        else:
+            key = pairwise_distance(
+                q, v_t, metric, v_norms_sq=ns_t, v_inv_norms=in_t,
+                compute_dtype=compute_dtype,
+            )
         keep = valid_t[None, :]
         if mask is not None:
             keep = keep & (m_t if per_query_mask else m_t[None, :])
-        dist = jnp.where(keep, dist, MASKED_DIST)
+        key = jnp.where(keep, key, MASKED_DIST)
         # Reduce the tile to its own top-k first (bounds the merge sort to
         # [B, 2k] instead of [B, tile + k]).
-        t_dist, t_local = _topk_smallest(dist, min(k, tile), approx_recall)
+        t_key, t_local = _topk_smallest(key, min(k, tile), approx_recall)
         t_idx = t_local.astype(jnp.int32) + i * tile
-        return _merge_topk(best_dist, best_idx, t_dist, t_idx, k), None
+        return _merge_topk(best_key, best_idx, t_key, t_idx, k), None
 
     xs = (
         jnp.arange(n_tiles, dtype=jnp.int32),
@@ -175,11 +236,18 @@ def flat_scan_topk(
         in_tiles,
         mask_tiles,
     )
-    (best_dist, best_idx), _ = jax.lax.scan(body, init, xs)
-    # Normalize empty slots: anything still at the sentinel is id -1.
-    empty = best_dist >= MASKED_DIST
+    (best_key, best_idx), _ = jax.lax.scan(body, init, xs)
+    empty = best_key >= MASKED_DIST
     best_idx = jnp.where(empty, -1, best_idx)
-    return best_dist, best_idx
+    if not use_affine:
+        return best_key, best_idx
+    # winners carry scores; reconstruct + exactly order true distances
+    best_dist = _rescore_winners(q, vectors, best_idx, metric)
+    best_dist = jnp.where(empty, MASKED_DIST, best_dist)
+    neg_top, pos = jax.lax.top_k(-best_dist, k)
+    best_dist = -neg_top
+    best_idx = jnp.take_along_axis(best_idx, pos, axis=1)
+    return best_dist, jnp.where(best_dist >= MASKED_DIST, -1, best_idx)
 
 
 @partial(jax.jit, static_argnames=("metric", "k"))
