@@ -93,6 +93,33 @@ def _intra_batch_candidates(q, batch_slots, member, cand_d, cand_i, *,
     )
 
 
+@_partial(jax.jit, static_argnames=("metric", "ef", "max_iters", "m", "kk",
+                                    "intra", "compute_dtype"))
+def _level_search_select(q, entries, vectors, valid, adj, pos_map,
+                         batch_slots, member, *, metric, ef, max_iters, m,
+                         kk, intra, compute_dtype):
+    """One fused program per connected level: beam search + (optional)
+    intra-batch kNN candidates + diversity selection. Each separate dispatch
+    costs a round-trip on remote links; fusing was measured to matter more
+    than any of the individual kernels."""
+    cand_d, cand_i = beam_search(
+        q, entries, vectors, valid, adj, pos_map,
+        metric=metric, ef=ef, max_iters=max_iters,
+        compute_dtype=compute_dtype,
+    )
+    if intra:
+        cand_d, cand_i = _intra_batch_candidates(
+            q, batch_slots, member, cand_d, cand_i,
+            kk=kk, metric=metric, compute_dtype=compute_dtype,
+        )
+    sel_i, sel_d = select_neighbors(
+        q, cand_i, cand_d, vectors, metric=metric, m=m,
+        compute_dtype=compute_dtype,
+    )
+    best = jnp.where(cand_i[:, 0] >= 0, cand_i[:, 0], entries)
+    return sel_i, best
+
+
 @dataclass
 class HNSWConfig:
     """Defaults mirror the reference (hnsw.go:16-25, 219-250)."""
@@ -372,25 +399,15 @@ class HNSWIndex:
                 )
                 continue
             ef = max(c.ef_construction, c.m0 if l == 0 else c.m)
-            cand_d, cand_i = beam_search(
-                q, entries, dev.vectors, dev.valid, adj_dev, pos_dev,
-                metric=self._metric(), ef=ef,
-                max_iters=int(1.5 * ef) + 8,
-                compute_dtype=self.compute_dtype,
-            )
             deg = layer.deg
-            if c.intra_batch_links:
-                # batch members can't find each other in the frozen graph;
-                # add exact intra-batch kNN candidates before selection
-                cand_d, cand_i = _intra_batch_candidates(
-                    q, jnp.asarray(slots.astype(np.int32)),
-                    jnp.asarray(connect_here), cand_d, cand_i,
-                    kk=min(_pow2(2 * deg, lo=16), B),
-                    metric=self._metric(), compute_dtype=self.compute_dtype,
-                )
-            sel_i, sel_d = select_neighbors(
-                q, cand_i, cand_d, dev.vectors,
-                metric=self._metric(), m=deg,
+            sel_i, entries = _level_search_select(
+                q, entries, dev.vectors, dev.valid, adj_dev, pos_dev,
+                jnp.asarray(slots.astype(np.int32)),
+                jnp.asarray(connect_here),
+                metric=self._metric(), ef=ef,
+                max_iters=int(1.5 * ef) + 8, m=deg,
+                kk=min(_pow2(2 * deg, lo=16), B),
+                intra=bool(c.intra_batch_links),
                 compute_dtype=self.compute_dtype,
             )
             sel_np = np.asarray(sel_i)[np.flatnonzero(connect_here)]  # [n, deg]
@@ -401,8 +418,6 @@ class HNSWIndex:
                 (sel_np >= 0).sum(axis=1),
             )
             self._add_reverse_edges(l, slots[connect_here], sel_np, dev)
-            # next layer entries: best candidate found here
-            entries = jnp.where(cand_i[:, 0] >= 0, cand_i[:, 0], entries)
 
         # entry point promotion
         best = int(levels.max(initial=-1))
@@ -481,22 +496,26 @@ class HNSWIndex:
         total = fill + counts
         fits = total <= deg
 
+        # gather the edges of the surviving (live-target) groups and the
+        # position of each edge within its group — fully vectorized
+        tot = int(counts.sum())
+        grp_base = np.cumsum(counts) - counts
+        group_pos = np.arange(tot) - np.repeat(grp_base, counts)
+        edge_sel = np.repeat(starts, counts) + group_pos
+        sources = sources[edge_sel]
+        uid_of_edge = np.repeat(np.arange(len(uniq)), counts)
+
         # fast path: append into known-free cells (hnswlib appends without
         # pruning until the row is full). Duplicate sources can't occur:
         # every source is a new node this batch, absent from existing rows.
         fit_idx = np.flatnonzero(fits)
         if len(fit_idx):
-            app_rows, app_cols, app_vals = [], [], []
-            for ui in fit_idx:
-                grp = sources[starts[ui] : starts[ui] + counts[ui]]
-                base = fill[ui]
-                app_rows.extend([rows[ui]] * len(grp))
-                app_cols.extend(range(base, base + len(grp)))
-                app_vals.extend(grp)
+            edge_fits = fits[uid_of_edge]
+            app_rows = rows[uid_of_edge[edge_fits]].astype(np.int64)
+            app_cols = (fill[uid_of_edge[edge_fits]]
+                        + group_pos[edge_fits]).astype(np.int64)
             layer.append_cells_dev(
-                np.asarray(app_rows, np.int64),
-                np.asarray(app_cols, np.int64),
-                np.asarray(app_vals, np.int32),
+                app_rows, app_cols, sources[edge_fits].astype(np.int32)
             )
             layer.fill[rows[fit_idx]] = total[fit_idx].astype(np.int16)
 
@@ -506,9 +525,11 @@ class HNSWIndex:
         if len(over):
             gmax = int(counts[over].max())
             extra = np.full((len(over), gmax), -1, np.int32)
-            for k, ui in enumerate(over):
-                grp = sources[starts[ui] : starts[ui] + counts[ui]]
-                extra[k, : len(grp)] = grp
+            edge_over = ~fits[uid_of_edge]
+            over_rank = np.full(len(uniq), -1)
+            over_rank[over] = np.arange(len(over))
+            extra[over_rank[uid_of_edge[edge_over]],
+                  group_pos[edge_over]] = sources[edge_over]
             # bucket shapes to pow2 so kernels don't recompile per batch
             U = _pow2(len(over))
             E = _pow2(gmax)
