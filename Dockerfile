@@ -7,6 +7,11 @@ ARG JAX_VARIANT=cpu
 WORKDIR /build
 COPY pyproject.toml README.md ./
 COPY quiver_tpu ./quiver_tpu
+# build the native WAL engine from source so the image never ships a
+# checked-in binary (quiver_tpu/native/Makefile)
+RUN apt-get update && apt-get install -y --no-install-recommends g++ make \
+    && rm -rf /var/lib/apt/lists/* \
+    && make -C quiver_tpu/native
 RUN pip install --no-cache-dir --prefix=/install . \
     && if [ "$JAX_VARIANT" = "tpu" ]; then \
          pip install --no-cache-dir --prefix=/install 'jax[tpu]' \
