@@ -53,6 +53,7 @@ from quiver_tpu.facets.filters import (
     SetFilter,
 )
 from quiver_tpu.index.exact import ExactIndex
+from quiver_tpu.ops import vector_utils
 from quiver_tpu.index.hnsw import HNSWConfig, HNSWIndex
 from quiver_tpu.index.hybrid import AdaptiveConfig, HybridIndex
 from quiver_tpu.types import (
@@ -89,4 +90,5 @@ __all__ = [
     "SetFilter",
     "VectorRecord",
     "VectorStore",
+    "vector_utils",
 ]

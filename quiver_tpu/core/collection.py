@@ -91,12 +91,24 @@ class Collection:
                 store, compute_dtype=compute_dtype
             )
         self.engine = engine_factory(self.store)
+        #: engine kind name (exact | hnsw | hybrid | ...), set by the DB
+        #: layer; persisted in CollectionConfig so reloads reconstruct the
+        #: same engine (reference persists the analogous config —
+        #: db.go:380-397)
+        self.engine_kind = ""
         self._lock = threading.RLock()
         self._write_listeners: list[Callable[[str], None]] = []
         #: optional WAL sink (persistence.WalWriter) set by the DB layer;
         #: unlike the reference — whose main collection never WALs its writes
         #: (SURVEY.md §2.14 note) — every mutation is journaled here.
         self.wal = None
+
+    @property
+    def write_lock(self):
+        """The mutation lock. The persistence manager holds it across WAL
+        rotation + snapshot so the flush's durability contract (snapshot ⊇
+        sealed WAL segments) holds."""
+        return self._lock
 
     # ------------------------------------------------------------ listeners
 

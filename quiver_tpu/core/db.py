@@ -122,7 +122,7 @@ class DB:
                 facet_fields=facet_fields,
                 engine_factory=self._engine_factory(engine),
             )
-            coll._engine_kind = engine
+            coll.engine_kind = engine
             self._register(coll)
             if self.persistence:
                 self.persistence.save_config(
@@ -132,6 +132,7 @@ class DB:
                         distance_func=coll.metric.value,
                         created_at=coll.created_at,
                         facet_fields=list(facet_fields),
+                        engine=engine,
                     )
                 )
             return coll
@@ -171,13 +172,17 @@ class DB:
         for name in self.persistence.list_collections():
             try:
                 cfg = self.persistence.load_config(name)
+                # honor the engine chosen at create time; pre-engine-field
+                # configs fall back to the DB default (db.go:150-206 parity)
+                engine_kind = cfg.engine or self.options.default_engine
                 coll = Collection(
                     cfg.name,
                     cfg.dimension,
                     DistanceType.parse(cfg.distance_func),
                     facet_fields=cfg.facet_fields,
-                    engine_factory=self._engine_factory(self.options.default_engine),
+                    engine_factory=self._engine_factory(engine_kind),
                 )
+                coll.engine_kind = engine_kind
                 coll.created_at = cfg.created_at
                 ids, vectors, metadatas = self.persistence.load_collection_data(name)
                 rebuilt = False

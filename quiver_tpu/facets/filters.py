@@ -212,10 +212,18 @@ def compare_values(a: Any, b: Any) -> int:
 
 def matches_request_filter(metadata: Optional[dict], flt) -> bool:
     """One operator filter against a metadata dict (reference matchesFilter,
-    collection.go:532-575). Top-level field keys only; absent field -> False."""
-    if not metadata or flt.field not in metadata:
+    collection.go:532-575). Unlike the reference (literal top-level keys
+    only), dotted field names resolve through nested paths — matching the
+    device-compiled path (columns.compile_request_filters indexes facet
+    columns via extract_path), so results don't depend on whether a field
+    happens to be facet-tracked. Absent field -> False."""
+    if not metadata:
         return False
-    value = metadata[flt.field]
+    value = extract_path(metadata, flt.field)
+    if value is None:
+        # extract_path returns None both for "absent" and for a stored
+        # null; either way no operator matches (reference: absent -> False)
+        return False
     op, fv = flt.operator, flt.value
     if op == "=":
         return values_equal(value, fv)

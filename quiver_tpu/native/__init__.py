@@ -30,6 +30,7 @@ def _load():
         lib.qwal_append.restype = ctypes.c_uint64
         lib.qwal_append.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                     ctypes.c_uint32]
+        lib.qwal_sync.restype = ctypes.c_int
         lib.qwal_sync.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
         lib.qwal_truncate.argtypes = [ctypes.c_void_p]
         lib.qwal_close.argtypes = [ctypes.c_void_p]
@@ -79,11 +80,18 @@ class NativeWalWriter:
         for e in entries:
             payload = self._entry_bytes(*e)
             seq = self._lib.qwal_append(self._h, payload, len(payload))
-        if seq:
-            self._lib.qwal_sync(self._h, seq)  # durable before returning
+            if not seq:
+                raise OSError(f"WAL {self.path} failed (disk error); "
+                              "record not journaled")
+        if seq and self._lib.qwal_sync(self._h, seq) != 0:
+            # records were NOT made durable — surface it instead of
+            # acknowledging a write the log cannot replay
+            raise OSError(f"WAL {self.path} sync failed (disk error)")
 
     def truncate(self) -> None:
-        """In-place log truncation (safe under concurrent appends)."""
+        """In-place log truncation (waits out any in-flight group commit).
+        The persistence layer prefers segment rotation; kept for API
+        completeness."""
         if self._h:
             self._lib.qwal_truncate(self._h)
 

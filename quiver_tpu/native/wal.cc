@@ -61,11 +61,13 @@ struct Wal {
   int fd = -1;
   std::mutex mu;
   std::condition_variable cv_data;   // committer wakeup
-  std::condition_variable cv_done;   // sync() barrier
+  std::condition_variable cv_done;   // sync() barrier / drain-complete
   std::deque<std::string> queue;     // framed records awaiting commit
   uint64_t enqueued = 0;             // records ever enqueued
   uint64_t durable = 0;              // records fdatasync'd
   bool stop = false;
+  bool failed = false;     // unrecoverable write/fsync error; log is wedged
+  bool committing = false; // a drain's write() is in flight (mutex released)
   std::thread committer;
 
   void run() {
@@ -81,19 +83,27 @@ struct Wal {
         queue.pop_front();
         n++;
       }
+      committing = true;  // truncate must not interleave with this write
       lk.unlock();
+      bool ok = true;
       size_t off = 0;
       while (off < blob.size()) {
         ssize_t w = ::write(fd, blob.data() + off, blob.size() - off);
-        if (w <= 0) break;  // disk error: records stay non-durable
+        if (w <= 0) { ok = false; break; }  // disk error
         off += static_cast<size_t>(w);
       }
-      if (off == blob.size()) ::fdatasync(fd);
+      if (ok && ::fdatasync(fd) != 0) ok = false;
       lk.lock();
-      if (off == blob.size()) {
+      committing = false;
+      if (ok) {
         durable += n;
-        cv_done.notify_all();
+      } else {
+        // Surface the failure instead of wedging every future sync():
+        // mark the log failed so qwal_sync/qwal_append return errors, and
+        // wake all waiters so they observe it.
+        failed = true;
       }
+      cv_done.notify_all();
     }
   }
 };
@@ -111,7 +121,8 @@ Wal* qwal_open(const char* path) {
   return w;
 }
 
-// Enqueue one framed record; returns its sequence number (>=1), 0 on error.
+// Enqueue one framed record; returns its sequence number (>=1), 0 on error
+// (null args, or the log has hit an unrecoverable disk error).
 uint64_t qwal_append(Wal* w, const uint8_t* data, uint32_t len) {
   if (!w || !data) return 0;
   std::string frame;
@@ -121,6 +132,7 @@ uint64_t qwal_append(Wal* w, const uint8_t* data, uint32_t len) {
   std::memcpy(&frame[4], &crc, 4);
   std::memcpy(&frame[8], data, len);
   std::lock_guard<std::mutex> lk(w->mu);
+  if (w->failed) return 0;
   w->queue.emplace_back(std::move(frame));
   uint64_t seq = ++w->enqueued;
   w->cv_data.notify_one();
@@ -128,19 +140,26 @@ uint64_t qwal_append(Wal* w, const uint8_t* data, uint32_t len) {
 }
 
 // Block until record `seq` (or everything if seq==0) is durable.
-void qwal_sync(Wal* w, uint64_t seq) {
-  if (!w) return;
+// Returns 0 on success, -1 if the log failed (records NOT durable).
+int qwal_sync(Wal* w, uint64_t seq) {
+  if (!w) return -1;
   std::unique_lock<std::mutex> lk(w->mu);
   uint64_t target = seq ? seq : w->enqueued;
-  w->cv_done.wait(lk, [&] { return w->durable >= target; });
+  w->cv_done.wait(lk, [&] { return w->durable >= target || w->failed; });
+  return (w->durable >= target) ? 0 : -1;
 }
 
-// Truncate the log file in place (post-flush). The writer object and its
-// fd stay alive, so concurrent appenders are safe; records still queued
-// (post-snapshot writes in flight) survive and commit after truncation.
+// Truncate the log file in place. Waits for any in-flight drain to finish
+// (the committer writes with the mutex released; ftruncate interleaving
+// with a partial group-commit write would leave a corrupt frame at offset
+// 0) before cutting the file. Records still queued survive and commit
+// after truncation. NOTE: the persistence layer now prefers segment
+// rotation over in-place truncation (see persistence/manager.py); this
+// stays for API completeness.
 void qwal_truncate(Wal* w) {
   if (!w) return;
-  std::lock_guard<std::mutex> lk(w->mu);
+  std::unique_lock<std::mutex> lk(w->mu);
+  w->cv_done.wait(lk, [&] { return !w->committing; });
   ::ftruncate(w->fd, 0);
   ::lseek(w->fd, 0, SEEK_SET);
 }

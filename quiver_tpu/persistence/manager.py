@@ -20,6 +20,7 @@ optional topology sidecar (HNSW CSR arrays) can skip the rebuild.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -52,6 +53,12 @@ class CollectionConfig:
     distance_func: str
     created_at: float = field(default_factory=time.time)
     facet_fields: list[str] = field(default_factory=list)
+    #: engine kind chosen at create time (exact | hnsw | hybrid | ...);
+    #: empty = use the DB default (pre-v1 configs). The reference persists
+    #: enough to reconstruct the right index (db.go:150-206, 380-397);
+    #: without this a collection created with engine="hnsw" silently
+    #: reloads as the DB default.
+    engine: str = ""
     version: int = CONFIG_VERSION
 
     def to_json(self) -> bytes:
@@ -66,6 +73,7 @@ class CollectionConfig:
             distance_func=d["distance_func"],
             created_at=d.get("created_at", time.time()),
             facet_fields=d.get("facet_fields", []),
+            engine=d.get("engine", ""),
             version=d.get("version", CONFIG_VERSION),
         )
 
@@ -246,22 +254,45 @@ class PersistenceManager:
     def _wal_path(self, name: str) -> str:
         return os.path.join(self.root, name, f"{name}.wal")
 
-    def truncate_wal(self, name: str) -> None:
-        """Truncate the WAL after a successful flush (manager.go:488-507).
-        Native writers truncate IN PLACE (destroying a writer that another
-        thread is appending to is a use-after-free); the Python writer has
-        no shared native state, so its file is simply removed."""
+    def _wal_segments(self, name: str) -> list[str]:
+        """Rotated (sealed) WAL segments on disk, oldest first."""
+        cdir = self.collection_dir(name)
+        if not os.path.isdir(cdir):
+            return []
+        prefix = f"{name}.wal."
+        segs = []
+        for fn in os.listdir(cdir):
+            if fn.startswith(prefix):
+                try:
+                    segs.append((int(fn[len(prefix):]), os.path.join(cdir, fn)))
+                except ValueError:
+                    continue
+        return [p for _n, p in sorted(segs)]
+
+    def rotate_wal(self, name: str) -> list[str]:
+        """Seal the live WAL segment and start a fresh one; returns every
+        sealed segment now on disk (oldest first), for deletion once the
+        snapshot that covers them is durable.
+
+        MUST be called with the collection's write lock held so no append
+        is in flight: the flush contract is snapshot ⊇ sealed segments, and
+        that only holds if rotation happens at a quiescent point. This
+        replaces in-place truncation, which lost any write acknowledged
+        between snapshot and truncate (the reference shares that window —
+        manager.go:267-351 vs :488-507; we close it)."""
         with self._wal_lock:
-            w = self._wals.get(name)
-        if w is not None and hasattr(w, "truncate"):
-            w.truncate()
-            return
-        with self._wal_lock:
-            self._wals.pop(name, None)
-        try:
-            os.remove(self._wal_path(name))
-        except FileNotFoundError:
-            pass
+            w = self._wals.pop(name, None)
+            if w is not None and hasattr(w, "close"):
+                w.close()  # drains the group-commit queue; all records durable
+            live = self._wal_path(name)
+            if os.path.exists(live):
+                existing = self._wal_segments(name)
+                next_gen = 1
+                if existing:
+                    last = os.path.basename(existing[-1])
+                    next_gen = int(last.rsplit(".", 1)[1]) + 1
+                os.replace(live, f"{live}.{next_gen}")
+        return self._wal_segments(name)
 
     # ---------------------------------------------------------------- paths
 
@@ -289,21 +320,38 @@ class PersistenceManager:
 
     def flush_collection(self, collection) -> None:
         """Snapshot a collection (reference FlushCollection,
-        manager.go:267-351): vectors.parquet (JSON fallback) + config.json,
-        then truncate the WAL. Serialized per collection: concurrent
-        flushes (background loop + explicit backup) share tmp paths and
-        would interleave writes."""
+        manager.go:267-351): vectors.parquet (JSON fallback) + config.json.
+        Serialized per collection: concurrent flushes (background loop +
+        explicit backup) share tmp paths and would interleave writes.
+
+        Durability protocol (closes the reference's snapshot→truncate loss
+        window): under the COLLECTION write lock, seal the live WAL into a
+        rotated segment and capture the store snapshot — so the snapshot
+        provably covers everything in the sealed segments, and any write
+        that lands during the (slow) disk phase goes to the fresh live
+        segment, which is never deleted. Sealed segments are removed only
+        after the snapshot files are durably written; on any failure they
+        stay and replay on load."""
         name = collection.name
         with self._wal_lock:
             lock = self._flush_locks.setdefault(name, threading.Lock())
+        wlock = getattr(collection, "write_lock", None) or contextlib.nullcontext()
         with lock:
-            self._flush_collection_locked(collection)
+            with wlock:
+                sealed = self.rotate_wal(name)
+                ids, vectors, metadatas = collection.store.snapshot()
+                topo = self._capture_topology(collection)
+            self._write_snapshot(collection, ids, vectors, metadatas, topo)
+            for seg in sealed:
+                try:
+                    os.remove(seg)
+                except FileNotFoundError:
+                    pass
 
-    def _flush_collection_locked(self, collection) -> None:
+    def _write_snapshot(self, collection, ids, vectors, metadatas, topo) -> None:
         name = collection.name
         cdir = self.collection_dir(name)
         os.makedirs(cdir, exist_ok=True)
-        ids, vectors, metadatas = collection.store.snapshot()
         pq_path = os.path.join(cdir, "vectors.parquet")
         try:
             write_vectors_parquet(pq_path, ids, vectors, metadatas)
@@ -325,30 +373,36 @@ class PersistenceManager:
                 distance_func=collection.metric.value,
                 created_at=collection.created_at,
                 facet_fields=collection.get_facet_fields(),
+                engine=getattr(collection, "engine_kind", ""),
             )
         )
-        self._save_topology(collection, cdir)
-        self.truncate_wal(name)
+        self._write_topology(topo, cdir)
 
-    def _save_topology(self, collection, cdir: str) -> None:
-        """Topology sidecar: CSR graph arrays + the snapshot's slot map, so
-        load skips the graph rebuild (the reference always rebuilds —
-        SURVEY.md §5.4)."""
+    def _capture_topology(self, collection):
+        """Capture the topology sidecar payload (CSR graph arrays + the
+        snapshot's slot map) consistently with the snapshot — caller holds
+        the collection write lock. Load skips the graph rebuild (the
+        reference always rebuilds — SURVEY.md §5.4)."""
         engine = getattr(collection, "engine", None)
-        topo_path = os.path.join(cdir, "topology.npz")
         data = None
         if engine is not None and hasattr(engine, "export_topology"):
             data = engine.export_topology()
+        if data is None:
+            return None
+        data = dict(data)
+        data["snapshot_slots"] = collection.store.live_slots()
+        snap_ids, _, _ = collection.store.snapshot()
+        data["snapshot_ids"] = np.asarray(snap_ids, dtype=object).astype(str)
+        return data
+
+    def _write_topology(self, data, cdir: str) -> None:
+        topo_path = os.path.join(cdir, "topology.npz")
         if data is None:
             try:
                 os.remove(topo_path)
             except FileNotFoundError:
                 pass
             return
-        data = dict(data)
-        data["snapshot_slots"] = collection.store.live_slots()
-        snap_ids, _, _ = collection.store.snapshot()
-        data["snapshot_ids"] = np.asarray(snap_ids, dtype=object).astype(str)
         tmp = topo_path + ".tmp"
         with open(tmp, "wb") as f:
             np.savez(f, **data)
@@ -392,19 +446,23 @@ class PersistenceManager:
         elif os.path.exists(js_path):
             ids, vectors, metadatas = read_vectors_json(js_path)
 
-        wal_path = self._wal_path(name)
-        if os.path.exists(wal_path):
+        # replay sealed segments (crash-leftovers from an interrupted
+        # flush), oldest first, then the live segment — entries are ordered
+        wal_paths = self._wal_segments(name) + [self._wal_path(name)]
+        wal_paths = [p for p in wal_paths if os.path.exists(p)]
+        if wal_paths:
             by_id = {i: (v, m) for i, v, m in zip(ids, vectors, metadatas)}
-            for entry in read_wal_any(wal_path):
-                et = entry.get("type")
-                vid = entry.get("vector_id")
-                if et == "add" and "vector" in entry:
-                    by_id[vid] = (
-                        np.asarray(entry["vector"], np.float32),
-                        entry.get("metadata"),
-                    )
-                elif et == "delete":
-                    by_id.pop(vid, None)
+            for wal_path in wal_paths:
+                for entry in read_wal_any(wal_path):
+                    et = entry.get("type")
+                    vid = entry.get("vector_id")
+                    if et == "add" and "vector" in entry:
+                        by_id[vid] = (
+                            np.asarray(entry["vector"], np.float32),
+                            entry.get("metadata"),
+                        )
+                    elif et == "delete":
+                        by_id.pop(vid, None)
             ids = list(by_id.keys())
             if ids:
                 vectors = np.stack([by_id[i][0] for i in ids])
@@ -425,7 +483,8 @@ class PersistenceManager:
             out_dir = os.path.join(dest, rel) if rel != "." else dest
             os.makedirs(out_dir, exist_ok=True)
             for fn in filenames:
-                if fn.endswith(".wal") or fn.endswith(".tmp"):
+                # skip live WALs, sealed segments (<name>.wal.N), and temps
+                if ".wal" in fn or fn.endswith(".tmp"):
                     continue
                 shutil.copy2(os.path.join(dirpath, fn), os.path.join(out_dir, fn))
 
@@ -439,7 +498,10 @@ class PersistenceManager:
         shutil.copytree(src, self.root)
 
     def delete_collection_dir(self, name: str) -> None:
+        with self._wal_lock:
+            w = self._wals.pop(name, None)
+        if w is not None and hasattr(w, "close"):
+            w.close()
         cdir = self.collection_dir(name)
         if os.path.isdir(cdir):
             shutil.rmtree(cdir)
-        self._wals.pop(name, None)

@@ -95,3 +95,54 @@ def test_precomputed_norms_match_on_the_fly():
     d1 = pairwise_distance(q, v, "cosine", v_norms_sq=ns, v_inv_norms=inv_norms(ns))
     d2 = pairwise_distance(q, v, "cosine")
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6)
+
+
+# -------------------------------------------------------- vector utilities
+# (reference semantics: pkg/vectortypes/distances_test.go — normalize
+# zero-guard, dim-mismatch errors, magnitude; types.go IsNormalized)
+
+from quiver_tpu.ops import vector_utils as vu
+
+
+def test_normalize_and_is_normalized():
+    v = np.array([3.0, 4.0], np.float32)
+    n = vu.normalize(v)
+    np.testing.assert_allclose(n, [0.6, 0.8], rtol=1e-6)
+    assert vu.is_normalized(n)
+    assert not vu.is_normalized(v)
+    # zero vector passes through unchanged (distances.go:124-126)
+    z = vu.normalize(np.zeros(4, np.float32))
+    np.testing.assert_array_equal(z, np.zeros(4))
+    assert not vu.is_normalized(np.zeros(4, np.float32))
+    # empty vector is not normalized (types.go:79-82)
+    assert not vu.is_normalized(np.zeros(0, np.float32))
+
+
+def test_vector_utils_batched():
+    rng = np.random.default_rng(0)
+    batch = rng.normal(size=(5, 8)).astype(np.float32)
+    n = vu.normalize(batch)
+    assert n.shape == (5, 8)
+    np.testing.assert_allclose(vu.magnitude(n), np.ones(5), rtol=1e-5)
+    flags = vu.is_normalized(n)
+    assert flags.shape == (5,) and flags.all()
+    # per-row results equal single-vector results
+    for i in range(5):
+        np.testing.assert_allclose(n[i], vu.normalize(batch[i]), rtol=1e-6)
+
+
+def test_vector_arithmetic():
+    a = np.array([1.0, 2.0], np.float32)
+    b = np.array([3.0, 5.0], np.float32)
+    np.testing.assert_array_equal(vu.add(a, b), [4, 7])
+    np.testing.assert_array_equal(vu.subtract(a, b), [-2, -3])
+    np.testing.assert_array_equal(vu.scale(a, 2.5), [2.5, 5.0])
+    np.testing.assert_allclose(vu.magnitude(b), np.sqrt(34.0), rtol=1e-6)
+    with pytest.raises(ValueError):
+        vu.add(a, np.zeros(3, np.float32))  # dim mismatch errors
+    c = vu.clone(a)
+    c[0] = 99
+    assert a[0] == 1.0  # deep copy
+    np.testing.assert_array_equal(vu.zeros(3), np.zeros(3))
+    r1, r2 = vu.random_vector(16, seed=7), vu.random_vector(16, seed=7)
+    np.testing.assert_array_equal(r1, r2)

@@ -136,6 +136,47 @@ def test_request_in_not_in():
     assert matches_request_filters(MD[0], [Filter("stock", "not_in", 5)])
 
 
+def test_request_dotted_field_resolves_nested():
+    """Dotted field names resolve through nested metadata on the host path,
+    matching the compiled facet-column path (which indexes via extract_path)
+    — results must not depend on whether the field is facet-tracked."""
+    md = {"a": {"b": 5, "s": "X"}, "top": 1}
+    assert matches_request_filters(md, [Filter("a.b", "=", 5)])
+    assert matches_request_filters(md, [Filter("a.b", ">", 4)])
+    assert not matches_request_filters(md, [Filter("a.b", "=", 6)])
+    assert matches_request_filters(md, [Filter("a.s", "in", ["X", "Y"])])
+    assert not matches_request_filters(md, [Filter("a.missing", "!=", 1)])
+
+
+def test_request_dotted_field_host_device_equivalence():
+    """End-to-end: the same dotted-field request filter returns the same
+    rows whether the field is facet-tracked (device-compiled mask) or not
+    (host fallback)."""
+    import numpy as np
+
+    from quiver_tpu.core.collection import Collection
+    from quiver_tpu.types import SearchRequest
+
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(16, 4)).astype(np.float32)
+    mds = [{"a": {"b": i % 4}, "i": i} for i in range(16)]
+    ids = [f"v{i}" for i in range(16)]
+    req = SearchRequest(
+        vector=vecs[0], top_k=16, filters=[Filter("a.b", "=", 2)]
+    )
+
+    tracked = Collection("t", 4, "euclidean", facet_fields=["a.b"])
+    tracked.add_batch(ids, vecs, mds)
+    untracked = Collection("u", 4, "euclidean")
+    untracked.add_batch(ids, vecs, mds)
+
+    got_t = sorted(r.id for r in tracked.search(req).results)
+    got_u = sorted(r.id for r in untracked.search(req).results)
+    expect = sorted(f"v{i}" for i in range(16) if i % 4 == 2)
+    assert got_t == expect
+    assert got_u == expect
+
+
 # ------------------------------------------------- device columns equivalence
 
 FIELDS = ["category", "price", "tags", "brand", "stock", "nested.a.b"]

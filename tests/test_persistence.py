@@ -129,6 +129,108 @@ def test_wal_truncated_after_flush(tmp_path):
     db.close()
 
 
+def test_write_during_flush_survives_crash(tmp_path, monkeypatch):
+    """A write acknowledged while the flush's disk phase runs must survive a
+    crash: the flush seals the WAL under the collection lock BEFORE
+    snapshotting, so the mid-flush write goes to the fresh live segment,
+    which is never deleted. (The reference loses this write: snapshot →
+    truncate window, manager.go:267-351 vs :488-507.)"""
+    import quiver_tpu.persistence.manager as mgr_mod
+
+    db = DB(opts(tmp_path))
+    c, _ = seed(db, n=4)
+    real_write = mgr_mod.write_vectors_parquet
+    state = {"fired": False}
+
+    def write_and_mutate(path, ids, vecs, mds):
+        real_write(path, ids, vecs, mds)
+        if not state["fired"]:
+            state["fired"] = True
+            # a client write lands while the snapshot is being persisted
+            c.add("mid_flush", np.full(D, 7, np.float32), {"late": True})
+
+    monkeypatch.setattr(mgr_mod, "write_vectors_parquet", write_and_mutate)
+    db.persistence.flush_collection(c)
+    assert state["fired"]
+    # simulate crash: reload from disk without close()/flush
+    del db, c
+    db2 = DB(opts(tmp_path))
+    c2 = db2.get_collection("c1")
+    assert c2.size == 5 and "mid_flush" in c2.store
+    db2.close()
+
+
+def test_failed_flush_keeps_sealed_segment(tmp_path, monkeypatch):
+    """If both parquet AND json snapshot writes fail, the sealed WAL segment
+    must remain on disk and replay on load — no acknowledged write is lost."""
+    import quiver_tpu.persistence.manager as mgr_mod
+
+    db = DB(opts(tmp_path))
+    c, vecs = seed(db, n=3)
+    boom = lambda *a, **k: (_ for _ in ()).throw(OSError("disk full"))
+    monkeypatch.setattr(mgr_mod, "write_vectors_parquet", boom)
+    monkeypatch.setattr(mgr_mod, "write_vectors_json", boom)
+    with pytest.raises(OSError):
+        db.persistence.flush_collection(c)
+    # the sealed segment survived the failed flush
+    assert db.persistence._wal_segments("c1")
+    # a later write goes to the new live segment; both replay in order
+    c.add("post_fail", np.ones(D, np.float32))
+    monkeypatch.undo()
+    del db, c
+    db2 = DB(opts(tmp_path))
+    c2 = db2.get_collection("c1")
+    assert c2.size == 4 and "post_fail" in c2.store and "v0" in c2.store
+    db2.close()
+
+
+def test_wal_segments_replay_in_order(tmp_path):
+    """Sealed segments + live WAL replay oldest-first so add/delete/re-add
+    sequences resolve correctly across segment boundaries."""
+    mgr = PersistenceManager(str(tmp_path / "data"), flush_interval_s=0)
+    os.makedirs(mgr.collection_dir("c"), exist_ok=True)
+    mgr.wal("c").append("add", "a", vector=np.ones(D, np.float32))
+    mgr.rotate_wal("c")
+    mgr.wal("c").append("delete", "a")
+    mgr.wal("c").append("add", "b", vector=np.zeros(D, np.float32))
+    mgr.rotate_wal("c")
+    mgr.wal("c").append("add", "a", vector=np.full(D, 2, np.float32))
+    ids, vecs, _ = mgr.load_collection_data("c")
+    assert sorted(ids) == ["a", "b"]
+    np.testing.assert_array_equal(vecs[ids.index("a")], np.full(D, 2))
+
+
+def test_engine_kind_survives_reload(tmp_path):
+    """A collection created with an explicit engine must reload with the
+    same engine even under a different DB default (reference reconstructs
+    the right index from persisted config — db.go:150-206, 380-397)."""
+    from quiver_tpu.index.hnsw import HNSWIndex
+
+    db = DB(opts(tmp_path, default_engine="exact"))
+    c = db.create_collection("g", D, "euclidean", engine="hnsw")
+    rng = np.random.default_rng(2)
+    c.add_batch([f"v{i}" for i in range(8)],
+                rng.normal(size=(8, D)).astype(np.float32))
+    db.close()
+
+    db2 = DB(opts(tmp_path, default_engine="exact"))
+    c2 = db2.get_collection("g")
+    assert c2.engine_kind == "hnsw"
+    assert isinstance(c2.engine, HNSWIndex)
+    db2.close()
+
+    # pre-engine-field configs (engine missing) fall back to the DB default
+    cfg_path = os.path.join(str(tmp_path / "data"), "g", "config.json")
+    with open(cfg_path) as f:
+        cfg = json.load(f)
+    cfg.pop("engine")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    db3 = DB(opts(tmp_path, default_engine="exact"))
+    assert db3.get_collection("g").engine_kind == "exact"
+    db3.close()
+
+
 # ----------------------------------------------------------------- manager
 
 def test_flush_then_load_roundtrip(tmp_path):
