@@ -44,7 +44,10 @@ class DBOptions:
             raise ValueError("storage_path required when persistence is enabled")
         if self.flush_interval_s < 0:
             raise ValueError("flush_interval_s must be >= 0")
-        if self.default_engine not in ("exact", "hnsw", "hybrid", "sharded_exact"):
+        if self.default_engine not in (
+            "exact", "hnsw", "hybrid",
+            "sharded_exact", "sharded_hnsw", "sharded_hybrid",
+        ):
             raise ValueError(f"unknown default_engine {self.default_engine!r}")
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unknown compute_dtype {self.compute_dtype!r}")

@@ -85,6 +85,12 @@ class VectorStore:
         self._pending_slots: list[int] = []
         self._full_resync = True
         self._generation = 0
+        # change feed for external device-state consumers (sharded engines):
+        # slot-level mutation log + an epoch that bumps whenever incremental
+        # replay is impossible (growth, log overflow) — consumers then do a
+        # full resync instead of a scatter
+        self._change_epoch = 0
+        self._change_log: list[int] = []
 
     # ------------------------------------------------------------------ host
 
@@ -146,6 +152,8 @@ class VectorStore:
         self._ids.extend([None] * (new_cap - old_cap))
         self._metadata.extend([None] * (new_cap - old_cap))
         self._full_resync = True
+        self._change_epoch += 1
+        self._change_log.clear()
 
     def add_batch(
         self,
@@ -182,6 +190,7 @@ class VectorStore:
                 self._id_to_slot[vid] = int(s)
             self._count += len(ids)
             self._pending_slots.extend(int(s) for s in slots)
+            self._log_changes(slots)
             return slots
 
     def add(self, vec_id: str, vector, metadata: Optional[dict] = None) -> int:
@@ -209,6 +218,7 @@ class VectorStore:
                     raise ValueError("update vector shape mismatch")
                 self._np_vectors[slots] = vecs
                 self._pending_slots.extend(slots)
+                self._log_changes(slots)
             if metadata is not None:
                 for s, md in zip(slots, metadata):
                     self._metadata[s] = md
@@ -229,8 +239,10 @@ class VectorStore:
                 self._metadata[slot] = None
                 self._free.append(slot)
                 self._pending_slots.append(slot)
+                self._change_log.append(int(slot))
                 removed += 1
             self._count -= removed
+            self._trim_change_log()
             return removed
 
     def metadata_of_slot(self, slot: int) -> Optional[dict]:
@@ -252,6 +264,42 @@ class VectorStore:
         """Slots of live rows in snapshot order (topology sidecar remap)."""
         with self._lock:
             return np.flatnonzero(self._np_valid)
+
+    # ----------------------------------------------------------- change feed
+
+    def _log_changes(self, slots) -> None:
+        self._change_log.extend(int(s) for s in slots)
+        self._trim_change_log()
+
+    def _trim_change_log(self) -> None:
+        # replaying more scatter rows than the capacity is worse than a full
+        # resync — overflow bumps the epoch so lagging consumers resync
+        if len(self._change_log) > self.capacity:
+            self._change_epoch += 1
+            self._change_log.clear()
+
+    def changes_since(self, cursor):
+        """Incremental change feed for external device-state consumers.
+
+        ``cursor`` is an opaque token from a previous call (or None). Returns
+        ``(new_cursor, slots)`` where ``slots`` is a unique np.int64 array of
+        mutated slots since the cursor — or ``None`` when incremental replay
+        is impossible (first call, capacity growth, or log overflow) and the
+        consumer must resync its full view.
+        """
+        with self._lock:
+            new_cursor = (self._change_epoch, len(self._change_log))
+            if cursor is None or cursor[0] != self._change_epoch:
+                return new_cursor, None
+            pos = cursor[1]
+            slots = self._change_log[pos:]
+            return new_cursor, np.unique(np.asarray(slots, np.int64))
+
+    def read_rows(self, slots: np.ndarray):
+        """(vectors f32[m, d], valid bool[m]) copies for the given slots —
+        a consistent host read for incremental device scatters."""
+        with self._lock:
+            return self._np_vectors[slots].copy(), self._np_valid[slots].copy()
 
     # ---------------------------------------------------------------- device
 

@@ -38,4 +38,24 @@ def make_engine(kind: str, store, **cfg):
         from quiver_tpu.parallel.sharded import ShardedExactIndex
 
         return ShardedExactIndex(store, **cfg)
+    if kind == "sharded_hnsw":
+        from quiver_tpu.parallel.sharded_graph import ShardedHNSWIndex
+
+        return ShardedHNSWIndex(store, **cfg)
+    if kind == "sharded_hybrid":
+        from quiver_tpu.index.hybrid import HybridIndex
+        from quiver_tpu.parallel.sharded import ShardedExactIndex, make_mesh
+        from quiver_tpu.parallel.sharded_graph import ShardedHNSWIndex
+
+        mesh = cfg.pop("mesh", None) or make_mesh()
+        compute_dtype = cfg.get("compute_dtype")
+        dtype_kw = {"compute_dtype": compute_dtype} if compute_dtype is not None else {}
+        hnsw_cfg = dict(cfg)
+        hnsw_cfg.pop("adaptive_config", None)
+        return HybridIndex(
+            store,
+            adaptive_config=cfg.get("adaptive_config"),
+            exact_factory=lambda s: ShardedExactIndex(s, mesh, **dtype_kw),
+            ann_factory=lambda s: ShardedHNSWIndex(s, mesh, **hnsw_cfg),
+        )
     raise ValueError(f"unknown index engine: {kind!r}")

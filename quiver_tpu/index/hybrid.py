@@ -148,15 +148,28 @@ class HybridIndex:
         hnsw_config: Optional[HNSWConfig] = None,
         adaptive_config: Optional[AdaptiveConfig] = None,
         compute_dtype=jnp.float32,
+        exact_factory=None,
+        ann_factory=None,
         **hnsw_overrides,
     ):
+        """``exact_factory`` / ``ann_factory`` inject the two engines — the
+        sharded hybrid passes mesh-backed variants; defaults are the
+        single-chip ExactIndex + HNSWIndex."""
         self.store = store
-        self.exact = ExactIndex(store, compute_dtype=compute_dtype)
-        self.hnsw = HNSWIndex(
-            store,
-            config=hnsw_config,
-            compute_dtype=compute_dtype,
-            **hnsw_overrides,
+        self.exact = (
+            exact_factory(store)
+            if exact_factory is not None
+            else ExactIndex(store, compute_dtype=compute_dtype)
+        )
+        self.hnsw = (
+            ann_factory(store)
+            if ann_factory is not None
+            else HNSWIndex(
+                store,
+                config=hnsw_config,
+                compute_dtype=compute_dtype,
+                **hnsw_overrides,
+            )
         )
         self.selector = AdaptiveStrategySelector(adaptive_config)
         self.last_strategy = EXACT

@@ -30,7 +30,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from quiver_tpu.core.store import VectorStore
-from quiver_tpu.ops.scan import MASKED_DIST, flat_scan_topk, negative_rerank
+from quiver_tpu.ops.scan import MASKED_DIST, flat_scan_topk
 from quiver_tpu.types import DistanceType
 
 DATA_AXIS = "data"
@@ -113,13 +113,93 @@ def sharded_scan_topk(
     return spmd(queries, vectors, valid, mask_arg, v_norms_sq, v_inv_norms)
 
 
+@partial(jax.jit, static_argnames=("mesh", "metric", "k"))
+def sharded_negative_rerank(
+    cand_dist: jax.Array,  # f32[B, R] (replicated)
+    cand_idx: jax.Array,  # i32[B, R] global slots, -1 empty (replicated)
+    vectors: jax.Array,  # f32[cap, d] row-sharded
+    negative: jax.Array,  # f32[B, d] (replicated)
+    *,
+    mesh: Mesh,
+    metric: str,
+    k: int,
+    weight: float | jax.Array = 0.5,
+):
+    """Negative-example rerank without ever materializing the corpus on one
+    device: each shard computes d(negative, candidate) for the candidate
+    rows IT owns (a local gather), partial results combine with one psum,
+    and the adjusted top-k reduces replicated. Same formula as
+    ops.scan.negative_rerank (reference: pkg/hnsw/adapter.go:417-421)."""
+    from quiver_tpu.ops.distance import distance_pairs
+
+    cap = vectors.shape[0]
+    n = mesh.shape[DATA_AXIS]
+    local_rows = cap // n
+    metric_p = DistanceType.parse(metric)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS, None), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def spmd(cd, ci, v, neg):
+        shard = jax.lax.axis_index(DATA_AXIS)
+        B, R = ci.shape
+        loc = ci - shard * local_rows
+        mine = (ci >= 0) & (loc >= 0) & (loc < local_rows)
+        rows = v[jnp.clip(loc, 0, local_rows - 1)].astype(jnp.float32)  # [B, R, d]
+        negb = jnp.broadcast_to(neg.astype(jnp.float32)[:, None, :], rows.shape)
+        d_neg = distance_pairs(
+            rows.reshape(B * R, -1), negb.reshape(B * R, -1), metric_p
+        ).reshape(B, R)
+        d_neg = jax.lax.psum(jnp.where(mine, d_neg, 0.0), DATA_AXIS)
+        adjusted = cd - jnp.asarray(weight, jnp.float32) * d_neg
+        adjusted = jnp.where(ci >= 0, adjusted, MASKED_DIST)
+        kk = min(k, R)
+        neg_top, sel = jax.lax.top_k(-adjusted, kk)
+        out_i = jnp.take_along_axis(ci, sel, axis=1)
+        out_d = jnp.take_along_axis(cd, sel, axis=1)
+        out_i = jnp.where(-neg_top >= MASKED_DIST, -1, out_i)
+        out_d = jnp.where(out_i >= 0, out_d, MASKED_DIST)
+        return out_d, out_i
+
+    return spmd(cand_dist, cand_idx, vectors, negative)
+
+
+def _sharded_scatter_fn(mesh: Mesh):
+    """jit'd incremental row scatter that KEEPS the mesh sharding: updates
+    and indices are replicated (small), the big arrays stay row-sharded."""
+    row_sh = NamedSharding(mesh, P(DATA_AXIS))
+    mat_sh = NamedSharding(mesh, P(DATA_AXIS, None))
+
+    @partial(
+        jax.jit,
+        out_shardings=(mat_sh, row_sh, row_sh, row_sh),
+        donate_argnums=(0, 1, 2, 3),
+    )
+    def scatter(vectors, valid, ns, inv, idx, rows, row_valid):
+        vectors = vectors.at[idx].set(rows)
+        valid = valid.at[idx].set(row_valid)
+        row_ns = jnp.sum(rows.astype(jnp.float32) ** 2, axis=-1)
+        ns = ns.at[idx].set(row_ns)
+        inv = inv.at[idx].set(
+            jnp.where(row_ns > 0, jax.lax.rsqrt(jnp.maximum(row_ns, 1e-30)), 0.0)
+        )
+        return vectors, valid, ns, inv
+
+    return scatter
+
+
 class ShardedExactIndex:
     """Engine-protocol adapter running the exact scan over a device mesh.
 
-    Mirrors ExactIndex but shards the store's device view across
-    ``mesh``; host-side API is unchanged, so a Collection can be pointed at
-    a mesh by swapping engines.
-    """
+    Mirrors ExactIndex but shards the store's rows across ``mesh``;
+    host-side API is unchanged, so a Collection can be pointed at a mesh by
+    swapping engines. Writes sync INCREMENTALLY: the store's change feed
+    drives a sharded scatter of just the mutated rows (a full re-upload only
+    on first use, capacity growth, or feed overflow)."""
 
     name = "sharded_exact"
 
@@ -137,31 +217,47 @@ class ShardedExactIndex:
         self.tile = tile
         self.compute_dtype = compute_dtype
         self.approx_recall = approx_recall
-        self._gen = -1
+        self._cursor = None
         self._sharded = None
+        self._scatter = _sharded_scatter_fn(self.mesh)
 
     @property
     def size(self) -> int:
         return self.store.size
 
-    def _sharded_view(self):
-        view = self.store.device_view()
-        if self._sharded is not None and self._gen == view.generation:
-            return self._sharded
+    def _full_resync(self):
+        store = self.store
         n = self.mesh.shape[DATA_AXIS]
-        if view.capacity % n != 0:
+        if store.capacity % n != 0:
             raise ValueError(
-                f"store capacity {view.capacity} not divisible by mesh size {n}"
+                f"store capacity {store.capacity} not divisible by mesh size {n}"
             )
+        vecs, valid = store.read_rows(np.arange(store.capacity))
+        ns = np.sum(vecs.astype(np.float64) ** 2, axis=1).astype(np.float32)
+        inv = np.where(ns > 0, 1.0 / np.sqrt(np.maximum(ns, 1e-30)), 0.0).astype(
+            np.float32
+        )
         row_sh = NamedSharding(self.mesh, P(DATA_AXIS))
         mat_sh = NamedSharding(self.mesh, P(DATA_AXIS, None))
         self._sharded = (
-            jax.device_put(view.vectors, mat_sh),
-            jax.device_put(view.valid, row_sh),
-            jax.device_put(view.norms_sq, row_sh),
-            jax.device_put(view.inv_norms, row_sh),
+            jax.device_put(vecs, mat_sh),
+            jax.device_put(valid, row_sh),
+            jax.device_put(ns, row_sh),
+            jax.device_put(inv, row_sh),
         )
-        self._gen = view.generation
+
+    def _sharded_view(self):
+        cursor, changed = self.store.changes_since(self._cursor)
+        if self._sharded is None or changed is None:
+            self._full_resync()
+        elif len(changed):
+            rows, row_valid = self.store.read_rows(changed)
+            v, va, ns, inv = self._sharded
+            self._sharded = self._scatter(
+                v, va, ns, inv,
+                jnp.asarray(changed), jnp.asarray(rows), jnp.asarray(row_valid),
+            )
+        self._cursor = cursor
         return self._sharded
 
     def search_slots(
@@ -198,11 +294,11 @@ class ShardedExactIndex:
             neg = jnp.asarray(np.asarray(negative, np.float32))
             if neg.ndim == 1:
                 neg = jnp.broadcast_to(neg[None, :], qd.shape)
-            # rerank against the replicated (unsharded) matrix view
-            view = self.store.device_view()
-            dist, idx = negative_rerank(
-                dist, idx, view.vectors, neg,
-                metric=self.store.metric.value, k=min(k, retrieve_k),
-                weight=negative_weight,
+            # rerank in-mesh: each shard scores the candidates it owns and
+            # the partials psum — the corpus never gathers onto one device
+            dist, idx = sharded_negative_rerank(
+                dist, idx, vectors, neg,
+                mesh=self.mesh, metric=self.store.metric.value,
+                k=min(k, retrieve_k), weight=negative_weight,
             )
         return np.asarray(dist)[:, :k], np.asarray(idx)[:, :k]

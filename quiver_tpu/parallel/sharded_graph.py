@@ -1,0 +1,417 @@
+"""Sharded HNSW — per-shard subgraphs + one SPMD merged query.
+
+Completes the multi-chip story for the graph engine (SURVEY.md §2.11: the
+reference has no distributed layer at all; its only batching is
+goroutine-per-query fan-out, pkg/hnsw/adapter.go:238-290):
+
+* corpus rows are assigned round-robin to ``n`` shards; each shard owns an
+  independent HNSW subgraph over ITS rows only (local slot space) — the
+  standard sub-index decomposition, which needs no cross-shard edges and
+  therefore no cross-shard traffic during construction;
+* the query is ONE ``shard_map`` program: every shard runs the same batched
+  greedy-descent + beam-search kernels (ops/hnsw_kernels.py) on its local
+  arrays, translates local hits to global slots, and the per-shard top-k
+  merges over ICI with one ``all_gather`` + re-top-k — the same merge
+  pattern as ``sharded_scan_topk``;
+* recall: each query searches every subgraph with the full ef, so the union
+  over shards upper-bounds the single-graph beam's candidate set.
+
+Masked / forced-exact / under-filled queries fall back to the sharded exact
+scan over the main store (the reference brute-forces filtered queries
+anyway, collection.go:679-682); negative-example rerank runs in-mesh via
+``sharded_negative_rerank``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from quiver_tpu.core.store import VectorStore
+from quiver_tpu.index.hnsw import HNSWConfig, HNSWIndex, _merge_rows, _pad_batch_pow2
+from quiver_tpu.ops.hnsw_kernels import beam_search, greedy_descent
+from quiver_tpu.ops.scan import MASKED_DIST
+from quiver_tpu.parallel.sharded import (
+    DATA_AXIS,
+    ShardedExactIndex,
+    make_mesh,
+    sharded_negative_rerank,
+)
+
+
+def _pow2(n: int, lo: int = 8) -> int:
+    c = lo
+    while c < max(n, 1):
+        c *= 2
+    return c
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "metric", "ef", "max_iters", "k", "compute_dtype"),
+)
+def _sharded_graph_query(
+    queries: jax.Array,  # f32[B, d] replicated
+    entries: jax.Array,  # i32[n] per-shard local entry points (sharded)
+    vectors: jax.Array,  # f32[n, local_cap, d] (sharded on axis 0)
+    valid: jax.Array,  # bool[n, local_cap]
+    l2g: jax.Array,  # i32[n, local_cap] local slot -> global slot (-1)
+    layers,  # tuple of (adj i32[n, R_l, deg], pos i32[n, local_cap]) top-down
+    adj0: jax.Array,  # i32[n, R0, deg0]
+    pos0: jax.Array,  # i32[n, local_cap]
+    *,
+    mesh: Mesh,
+    metric: str,
+    ef: int,
+    max_iters: int,
+    k: int,
+    compute_dtype=jnp.float32,
+):
+    """SPMD per-shard descent + beam + ICI all_gather top-k merge.
+
+    Shards whose subgraph lacks an upper level carry all -1 ``pos`` rows
+    there — the descent kernel then keeps the entry unchanged (identity
+    routing), so one program serves shards of different heights."""
+    n = mesh.shape[DATA_AXIS]
+    layer_specs = tuple(
+        (P(DATA_AXIS, None, None), P(DATA_AXIS, None)) for _ in layers
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P(DATA_AXIS),
+            P(DATA_AXIS, None, None),
+            P(DATA_AXIS, None),
+            P(DATA_AXIS, None),
+            layer_specs,
+            P(DATA_AXIS, None, None),
+            P(DATA_AXIS, None),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def spmd(q, ent, v, va, g, lyrs, a0, p0):
+        shard = jax.lax.axis_index(DATA_AXIS)
+        v, va, g = v[0], va[0], g[0]
+        B = q.shape[0]
+        e = jnp.broadcast_to(ent, (B,))
+        for adj_l, pos_l in lyrs:
+            _, e2 = greedy_descent(
+                q, e, v, va, adj_l[0], pos_l[0],
+                metric=metric, compute_dtype=compute_dtype,
+            )
+            e = jnp.where(e2 >= 0, e2, e)
+        bd, bi = beam_search(
+            q, e, v, va, a0[0], p0[0],
+            metric=metric, ef=ef, max_iters=max_iters,
+            compute_dtype=compute_dtype,
+        )
+        kk = min(k, ef)
+        bd, bi = bd[:, :kk], bi[:, :kk]
+        gi = jnp.where(bi >= 0, g[jnp.maximum(bi, 0)], -1)
+        bd = jnp.where(gi >= 0, bd, MASKED_DIST)
+        # ICI merge: gather every shard's top-k, re-reduce globally
+        all_d = jax.lax.all_gather(bd, DATA_AXIS, axis=0)  # [n, B, kk]
+        all_i = jax.lax.all_gather(gi, DATA_AXIS, axis=0)
+        all_d = jnp.transpose(all_d, (1, 0, 2)).reshape(B, n * kk)
+        all_i = jnp.transpose(all_i, (1, 0, 2)).reshape(B, n * kk)
+        neg_top, sel = jax.lax.top_k(-all_d, min(k, n * kk))
+        out_d = -neg_top
+        out_i = jnp.take_along_axis(all_i, sel, axis=1)
+        out_i = jnp.where(out_d >= MASKED_DIST, -1, out_i)
+        return out_d, out_i
+
+    return spmd(queries, entries, vectors, valid, l2g, layers, adj0, pos0)
+
+
+class ShardedHNSWIndex:
+    """Engine-protocol adapter: per-shard HNSW subgraphs over a device mesh.
+
+    Writes partition round-robin across shards (balanced regardless of the
+    main store's block slot allocation); each shard's subgraph builds with
+    the single-chip batched level-synchronous machinery, in its own local
+    slot space. Queries run SPMD over the mesh with an all_gather merge.
+    """
+
+    name = "sharded_hnsw"
+
+    def __init__(
+        self,
+        store: VectorStore,
+        mesh: Optional[Mesh] = None,
+        *,
+        config: Optional[HNSWConfig] = None,
+        compute_dtype=jnp.float32,
+        **cfg_overrides,
+    ):
+        self.store = store
+        self.mesh = mesh or make_mesh()
+        self.n = self.mesh.shape[DATA_AXIS]
+        self.config = config or HNSWConfig(**cfg_overrides)
+        self.compute_dtype = compute_dtype
+        self._sub_stores = [
+            VectorStore(store.dim, store.metric) for _ in range(self.n)
+        ]
+        self._subs = []
+        for i, s in enumerate(self._sub_stores):
+            cfg = HNSWConfig(**{**vars(self.config), "seed": self.config.seed + i})
+            self._subs.append(
+                HNSWIndex(s, config=cfg, compute_dtype=compute_dtype)
+            )
+        self._owner = np.full(store.capacity, -1, np.int16)
+        self._local_slot = np.full(store.capacity, -1, np.int64)
+        self._l2g = [np.full(s.capacity, -1, np.int64) for s in self._sub_stores]
+        self._rr = 0  # round-robin cursor
+        self._exact = ShardedExactIndex(
+            store, self.mesh, compute_dtype=compute_dtype
+        )
+        self._stacked = None
+        self._stack_key = None
+
+    # ------------------------------------------------------------ properties
+
+    @property
+    def size(self) -> int:
+        return self.store.size
+
+    def _metric(self) -> str:
+        return self.store.metric.value
+
+    def _grow_maps(self) -> None:
+        cap = self.store.capacity
+        if len(self._owner) < cap:
+            extra = cap - len(self._owner)
+            self._owner = np.concatenate(
+                [self._owner, np.full(extra, -1, np.int16)]
+            )
+            self._local_slot = np.concatenate(
+                [self._local_slot, np.full(extra, -1, np.int64)]
+            )
+
+    # ------------------------------------------------------------- write API
+
+    def on_insert(self, slots: np.ndarray, vectors: np.ndarray) -> None:
+        self._grow_maps()
+        slots = np.asarray(slots, np.int64)
+        vectors = np.asarray(vectors, np.float32)
+        shard_of = (self._rr + np.arange(len(slots))) % self.n
+        self._rr = (self._rr + len(slots)) % self.n
+        for s in range(self.n):
+            pick = shard_of == s
+            if not pick.any():
+                continue
+            g = slots[pick]
+            sub_store = self._sub_stores[s]
+            local = sub_store.add_batch(
+                [str(int(x)) for x in g], vectors[pick]
+            )
+            if len(self._l2g[s]) < sub_store.capacity:
+                self._l2g[s] = np.concatenate([
+                    self._l2g[s],
+                    np.full(sub_store.capacity - len(self._l2g[s]), -1, np.int64),
+                ])
+            self._l2g[s][local] = g
+            self._owner[g] = s
+            self._local_slot[g] = local
+            self._subs[s].on_insert(local, vectors[pick])
+        self._stacked = None
+
+    def on_update(self, slots: np.ndarray, vectors: np.ndarray) -> None:
+        slots = np.asarray(slots, np.int64)
+        vectors = np.asarray(vectors, np.float32)
+        for s in range(self.n):
+            pick = self._owner[slots] == s
+            if not pick.any():
+                continue
+            g = slots[pick]
+            local = self._local_slot[g]
+            self._sub_stores[s].update_batch(
+                [str(int(x)) for x in g], vectors[pick]
+            )
+            self._subs[s].on_update(local, vectors[pick])
+        self._stacked = None
+
+    def on_delete(self, slots: np.ndarray) -> None:
+        slots = np.asarray(slots, np.int64)
+        for s in range(self.n):
+            pick = self._owner[slots] == s
+            if not pick.any():
+                continue
+            g = slots[pick]
+            local = self._local_slot[g]
+            self._subs[s].on_delete(local)
+            self._sub_stores[s].delete_batch([str(int(x)) for x in g])
+            self._l2g[s][local] = -1
+            self._owner[g] = -1
+            self._local_slot[g] = -1
+        self._stacked = None
+
+    # -------------------------------------------------------------- stacking
+
+    def _stack(self):
+        """Assemble the per-shard graphs into mesh-sharded stacked arrays.
+
+        v1 trade-off: any subgraph mutation invalidates the whole stack
+        (build-then-serve pattern); incremental stack scatters are a later
+        optimization. Shapes pad to common pow2 buckets so the query program
+        doesn't recompile per write."""
+        key = tuple(sub._graph_version for sub in self._subs)
+        if self._stacked is not None and self._stack_key == key:
+            return self._stacked
+        n = self.n
+        local_cap = max(s.capacity for s in self._sub_stores)
+        d = self.store.dim
+        vecs = np.zeros((n, local_cap, d), np.float32)
+        valid = np.zeros((n, local_cap), bool)
+        l2g = np.full((n, local_cap), -1, np.int32)
+        entries = np.full(n, -1, np.int32)
+        for s, (store, sub) in enumerate(zip(self._sub_stores, self._subs)):
+            c = store.capacity
+            vecs[s, :c] = store._np_vectors
+            valid[s, :c] = store._np_valid
+            l2g[s, :c] = self._l2g[s][:c]
+            entries[s] = sub.entry_point
+        max_level = max((sub.current_max_level for sub in self._subs), default=-1)
+
+        def stack_layer(level: int, deg: int):
+            rows = _pow2(
+                max(
+                    (len(sub._layer(level).nodes) if level <= sub.current_max_level else 0)
+                    for sub in self._subs
+                )
+            )
+            adj = np.full((n, rows, deg), -1, np.int32)
+            pos = np.full((n, local_cap), -1, np.int32)
+            for s, sub in enumerate(self._subs):
+                if level > sub.current_max_level and level > 0:
+                    continue
+                if level > 0 and len(sub.layers) < level:
+                    continue
+                layer = sub._layer(level)
+                nrows = len(layer.nodes)
+                if nrows:
+                    adj[s, :nrows] = layer.adj[:nrows]
+                pc = min(len(layer.pos), local_cap)
+                pos[s, :pc] = layer.pos[:pc]
+            return adj, pos
+
+        mat3 = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
+        mat2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        row1 = NamedSharding(self.mesh, P(DATA_AXIS))
+        layers = []
+        for level in range(max_level, 0, -1):
+            adj, pos = stack_layer(level, self.config.m)
+            layers.append(
+                (jax.device_put(adj, mat3), jax.device_put(pos, mat2))
+            )
+        adj0, pos0 = stack_layer(0, self.config.m0)
+        self._stacked = (
+            jax.device_put(entries, row1),
+            jax.device_put(vecs, mat3),
+            jax.device_put(valid, mat2),
+            jax.device_put(l2g, mat2),
+            tuple(layers),
+            jax.device_put(adj0, mat3),
+            jax.device_put(pos0, mat2),
+        )
+        self._stack_key = key
+        return self._stacked
+
+    # ---------------------------------------------------------------- query
+
+    def search_slots(
+        self,
+        queries,
+        k: int,
+        *,
+        mask=None,
+        negative=None,
+        negative_weight: float = 0.5,
+        exact: bool = False,
+    ):
+        q = np.asarray(queries, np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        any_graph = any(sub.entry_point >= 0 for sub in self._subs)
+        if (
+            exact
+            or mask is not None
+            or not any_graph
+            or self.store.size <= max(self.config.m0, 2 * k)
+        ):
+            return self._exact.search_slots(
+                q, k, mask=mask, negative=negative,
+                negative_weight=negative_weight,
+            )
+        c = self.config
+        retrieve_k = k if negative is None else min(max(2 * k, 30), self.store.size)
+        ef = max(c.ef_search, retrieve_k)
+        entries, vecs, valid, l2g, layers, adj0, pos0 = self._stack()
+        q_pad, real_b = _pad_batch_pow2(q)
+        qd = jnp.asarray(q_pad)
+        bd, bi = _sharded_graph_query(
+            qd, entries, vecs, valid, l2g, layers, adj0, pos0,
+            mesh=self.mesh, metric=self._metric(), ef=ef,
+            max_iters=int(1.5 * ef) + 8, k=retrieve_k,
+            compute_dtype=self.compute_dtype,
+        )
+        if negative is not None:
+            neg_np = np.asarray(negative, np.float32)
+            if neg_np.ndim == 1:
+                neg_np = np.broadcast_to(neg_np[None, :], q.shape)
+            neg_np, _ = _pad_batch_pow2(np.ascontiguousarray(neg_np))
+            main_vecs, _va, _ns, _inv = self._exact._sharded_view()
+            bd, bi = sharded_negative_rerank(
+                bd, bi, main_vecs, jnp.asarray(neg_np),
+                mesh=self.mesh, metric=self._metric(), k=k,
+                weight=negative_weight,
+            )
+        dist = np.asarray(bd[:real_b, :k])
+        idx = np.asarray(bi[:real_b, :k])
+        # under-fill supplement (hnsw.go:676-710), sharded-exact flavored
+        found = (idx >= 0).sum(axis=1)
+        want = min(k, self.store.size)
+        if (found < want).any():
+            e_dist, e_idx = self._exact.search_slots(
+                q, k, negative=negative, negative_weight=negative_weight
+            )
+            for b in np.flatnonzero(found < want):
+                dist[b], idx[b] = _merge_rows(
+                    dist[b], idx[b], e_dist[b], e_idx[b], k
+                )
+        return dist, idx
+
+    # ---------------------------------------------------------- persistence
+
+    def export_topology(self) -> Optional[dict]:
+        """Per-shard topology sidecars are a later optimization — returning
+        None means loads rebuild the subgraphs from vectors (exactly the
+        reference's always-rebuild behavior, SURVEY.md §5.4)."""
+        return None
+
+    # ----------------------------------------------------------- tunables
+
+    def get_optimization_parameters(self) -> dict:
+        return self._subs[0].get_optimization_parameters()
+
+    def set_optimization_parameters(self, **params) -> None:
+        for sub in self._subs:
+            sub.set_optimization_parameters(**params)
+        if "ef_search" in params:
+            self.config.ef_search = int(params["ef_search"])
+
+    def get_detailed_metrics(self) -> dict:
+        return {
+            "size": self.size,
+            "shards": [sub.get_detailed_metrics() for sub in self._subs],
+            "mesh": self.n,
+        }

@@ -111,3 +111,99 @@ def test_sharded_engine_via_db(tmp_path, mesh):
     r = c.search(SearchRequest(vector=vecs[9], top_k=1))
     assert r.results[0].id == "v9"
     db.close()
+
+
+# ------------------------------------------------------------- sharded HNSW
+
+from quiver_tpu.parallel.sharded_graph import ShardedHNSWIndex
+
+
+def make_graph(mesh, n=2000, metric="euclidean", seed=3, **cfg):
+    store, vecs = make_store(n=n, metric=metric, seed=seed)
+    eng = ShardedHNSWIndex(store, mesh, ef_search=64, build_batch=512, **cfg)
+    eng.on_insert(np.arange(n), vecs)
+    return store, vecs, eng
+
+
+def test_sharded_hnsw_self_recall(mesh):
+    store, vecs, eng = make_graph(mesh)
+    d, i = eng.search_slots(vecs[:64], k=1)
+    assert (i[:, 0] == np.arange(64)).mean() >= 0.98
+    # self-distance is sqrt(f32 rounding residue) — ~2e-3 at d=24
+    np.testing.assert_allclose(d[i[:, 0] == np.arange(64), 0], 0.0, atol=5e-3)
+
+
+def test_sharded_hnsw_recall_vs_oracle(mesh):
+    store, vecs, eng = make_graph(mesh)
+    rng = np.random.default_rng(7)
+    q = (rng.normal(size=(32, D)) * 0.3 + vecs[:32]).astype(np.float32)
+    k = 10
+    od, oi = ExactIndex(store).search_slots(q, k)
+    gd, gi = eng.search_slots(q, k)
+    recall = np.mean([
+        len(set(gi[b].tolist()) & set(oi[b].tolist())) / k for b in range(32)
+    ])
+    assert recall >= 0.9, f"sharded graph recall {recall}"
+
+
+def test_sharded_hnsw_results_sorted_and_valid(mesh):
+    store, vecs, eng = make_graph(mesh)
+    d, i = eng.search_slots(vecs[5:9], k=8)
+    for b in range(4):
+        live = d[b][i[b] >= 0]
+        assert (np.diff(live) >= -1e-6).all()
+    assert (i >= -1).all() and (i < store.capacity).all()
+
+
+def test_sharded_hnsw_delete_and_underfill(mesh):
+    store, vecs, eng = make_graph(mesh, n=300)
+    # delete the true nearest neighbor of query 0; it must vanish
+    d, i = eng.search_slots(vecs[0], k=2)
+    victim = int(i[0, 0])
+    store.delete_batch([store.id_of(victim)])
+    eng.on_delete(np.asarray([victim]))
+    d2, i2 = eng.search_slots(vecs[0], k=5)
+    assert victim not in set(i2[0].tolist())
+    # k near the corpus size exercises the under-fill supplement merge
+    d3, i3 = eng.search_slots(vecs[0], k=299)
+    assert (i3[0] >= 0).sum() == 299
+
+
+def test_sharded_hnsw_mask_falls_back_sharded_exact(mesh):
+    store, vecs, eng = make_graph(mesh, n=1024)
+    mask = np.zeros(store.capacity, bool)
+    mask[:100] = True
+    d, i = eng.search_slots(vecs[:4], k=5, mask=mask)
+    assert (i[i >= 0] < 100).all()
+
+
+def test_sharded_hnsw_negative_rerank(mesh):
+    store, vecs, eng = make_graph(mesh, n=1024)
+    q = vecs[:8]
+    d0, i0 = eng.search_slots(q, k=5)
+    dn, in_ = eng.search_slots(q, k=5, negative=vecs[:8], negative_weight=5.0)
+    # pushing hard away from the query itself must change the ranking
+    assert (in_[:, 0] != i0[:, 0]).any()
+
+
+def test_sharded_hnsw_balanced_shards(mesh):
+    store, vecs, eng = make_graph(mesh, n=1000)
+    sizes = [s.size for s in eng._sub_stores]
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_sharded_hybrid_engine_via_db(tmp_path, mesh):
+    from quiver_tpu.core.db import DB, DBOptions
+    from quiver_tpu.types import SearchRequest
+
+    db = DB(DBOptions(
+        storage_path=str(tmp_path / "d"), default_engine="sharded_hybrid",
+        flush_interval_s=0, engine_config={"mesh": mesh},
+    ))
+    c = db.create_collection("s", D, "euclidean")
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(1500, D)).astype(np.float32)
+    c.add_batch([f"v{i}" for i in range(1500)], vecs)
+    r = c.search(SearchRequest(vector=vecs[3], top_k=3))
+    assert r.results[0].id == "v3"
+    db.close()
