@@ -45,7 +45,7 @@ class DBOptions:
         if self.flush_interval_s < 0:
             raise ValueError("flush_interval_s must be >= 0")
         if self.default_engine not in (
-            "exact", "hnsw", "hybrid",
+            "exact", "hnsw", "hybrid", "ivf",
             "sharded_exact", "sharded_hnsw", "sharded_hybrid",
         ):
             raise ValueError(f"unknown default_engine {self.default_engine!r}")

@@ -34,6 +34,10 @@ def make_engine(kind: str, store, **cfg):
         from quiver_tpu.index.hybrid import HybridIndex
 
         return HybridIndex(store, **cfg)
+    if kind == "ivf":
+        from quiver_tpu.index.ivf import IVFIndex
+
+        return IVFIndex(store, **cfg)
     if kind == "sharded_exact":
         from quiver_tpu.parallel.sharded import ShardedExactIndex
 

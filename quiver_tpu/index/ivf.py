@@ -1,0 +1,478 @@
+"""IVF-Flat engine — k-means partitioned corpus, block-pruned MXU search.
+
+The TPU-first ANN engine (ops/ivf_kernels.py has the kernel rationale): the
+full fused flat scan is reduce-bound, so at 1M+ rows the winning structure
+prunes work — score only the top-``n_probe`` clusters per query, as one
+batched matmul over uniformly-padded cluster blocks, then exactly rescore
+winners in f32. Recall is a direct function of ``n_probe`` (tune per
+collection; the bench sweeps it).
+
+Engine-protocol notes (quiver_tpu/index/__init__.py):
+* deletes cost nothing — validity is a query-time mask over store slots;
+* inserts after build append into their nearest cluster's block in place;
+  rows that land in a full cluster go to an overflow set that is scanned
+  exactly and merged (classic IVF spill), and the index rebuilds itself
+  once overflow/growth passes ``rebuild_growth``;
+* facet masks fuse into the pruned scan (corpus-wide masks; per-query mask
+  matrices fall back to the exact scan, same as the graph engine).
+
+The reference has no comparable structure — its only ANN is HNSW
+(pkg/hnsw/hnsw.go); this engine is the redesign SURVEY.md §7's north star
+asks for ("blockwise-tile the exact scan" taken to its conclusion).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quiver_tpu.core.store import VectorStore
+from quiver_tpu.index.exact import ExactIndex
+from quiver_tpu.ops.ivf_kernels import balance_assignment, ivf_query, train_kmeans
+from quiver_tpu.ops.scan import MASKED_DIST, negative_rerank
+from quiver_tpu.types import DistanceType
+
+
+def _pow2(n: int, lo: int = 8, hi: int = 1 << 30) -> int:
+    c = lo
+    while c < n and c < hi:
+        c *= 2
+    return c
+
+
+@dataclass
+class IVFConfig:
+    #: clusters; None = auto (pow2 nearest 4*sqrt(N) at build time)
+    n_clusters: Optional[int] = None
+    #: clusters probed per query — THE recall/speed knob
+    n_probe: int = 32
+    #: per-cluster row capacity factor over the mean (pad/imbalance bound)
+    cmax_factor: float = 2.0
+    kmeans_iters: int = 10
+    #: below this many rows the exact scan is used (and is faster anyway)
+    build_threshold: int = 8192
+    #: rebuild when (inserts+deletes since build) / built_size exceeds this
+    rebuild_growth: float = 0.3
+    seed: int = 42
+
+
+class IVFIndex:
+    """Inverted-file engine over a shared VectorStore."""
+
+    name = "ivf"
+
+    def __init__(
+        self,
+        store: VectorStore,
+        *,
+        config: Optional[IVFConfig] = None,
+        compute_dtype=jnp.bfloat16,
+        **cfg_overrides,
+    ):
+        self.store = store
+        self.config = config or IVFConfig(**cfg_overrides)
+        self.compute_dtype = compute_dtype
+        self._exact = ExactIndex(store, compute_dtype=jnp.float32)
+        self._built = False
+        self._centroids = None  # np f32[K, d]
+        self._cent_dev = None  # (centroids, cent_norms_sq) device
+        self._blocks = None  # device [K, Cmax, d] compute dtype
+        self._block_slot = None  # device i32[K, Cmax]
+        self._block_ns = None  # device f32[K, Cmax]
+        self._block_inv = None  # device f32[K, Cmax]
+        self._fill = None  # np i64[K]
+        self._slot_pos = None  # np i64[cap, 2] slot -> (cluster, pos), -1
+        self._overflow: set[int] = set()
+        self._built_size = 0
+        self._churn = 0
+
+    # ------------------------------------------------------------ properties
+
+    @property
+    def size(self) -> int:
+        return self.store.size
+
+    def _metric(self) -> str:
+        return self.store.metric.value
+
+    @property
+    def n_clusters(self) -> Optional[int]:
+        return None if self._centroids is None else len(self._centroids)
+
+    # ---------------------------------------------------------------- build
+
+    def _auto_k(self, n_live: int) -> int:
+        want = int(4 * np.sqrt(n_live))
+        return max(8, min(_pow2(want), n_live // 8))
+
+    def build(self, k: Optional[int] = None) -> None:
+        """(Re)train k-means over live rows and lay out the block tensor."""
+        c = self.config
+        valid = self.store._np_valid
+        n_live = int(valid.sum())
+        if n_live < 16:
+            return
+        K = k or c.n_clusters or self._auto_k(n_live)
+        K = min(K, n_live)
+        cents, assign = train_kmeans(
+            self.store._np_vectors, valid, K, n_iters=c.kmeans_iters,
+            seed=c.seed,
+        )
+        cent_j = jnp.asarray(cents)
+        self._centroids = cents
+        self._cent_dev = (cent_j, jnp.sum(cent_j * cent_j, axis=1))
+        self._layout_from_assign(np.asarray(assign, np.int64), K)
+
+    def _np_compute_dtype(self):
+        return np.dtype(jnp.dtype(self.compute_dtype).name)
+
+    def _maybe_rebuild(self) -> None:
+        c = self.config
+        if not self._built:
+            if self.store.size >= c.build_threshold:
+                self.build()
+            return
+        if self._built_size and (
+            self._churn / max(self._built_size, 1) > c.rebuild_growth
+            or len(self._overflow) > 0.05 * self._built_size
+        ):
+            self.build()
+
+    # ------------------------------------------------------------- write API
+
+    def on_insert(self, slots: np.ndarray, vectors: np.ndarray) -> None:
+        slots = np.asarray(slots, np.int64)
+        vectors = np.asarray(vectors, np.float32)
+        if not self._built:
+            self._maybe_rebuild()
+            return
+        self._grow_maps()
+        # assign to nearest centroid (one matmul), append where there's room
+        cent_j, c_ns = self._cent_dev
+        scores = np.asarray(
+            2.0 * (jnp.asarray(vectors) @ cent_j.T) - c_ns[None, :]
+        )
+        assign = np.argmax(scores, axis=1)
+        cmax = self._block_slot.shape[1]
+        app_rows, app_pos, app_slots, app_vecs = [], [], [], []
+        for a, s, v in zip(assign, slots, vectors):
+            p = self._fill[a]
+            if p < cmax:
+                app_rows.append(a)
+                app_pos.append(p)
+                app_slots.append(s)
+                app_vecs.append(v)
+                self._fill[a] = p + 1
+                self._slot_pos[s] = (a, p)
+            else:
+                self._overflow.add(int(s))
+        if app_rows:
+            r = jnp.asarray(np.asarray(app_rows))
+            p = jnp.asarray(np.asarray(app_pos))
+            av = np.asarray(app_vecs, np.float32)
+            ns = np.sum(av.astype(np.float64) ** 2, axis=1).astype(np.float32)
+            inv = np.where(ns > 0, 1.0 / np.sqrt(np.maximum(ns, 1e-30)), 0.0)
+            self._blocks = self._blocks.at[r, p].set(
+                jnp.asarray(av.astype(self._np_compute_dtype()))
+            )
+            self._block_slot = self._block_slot.at[r, p].set(
+                jnp.asarray(np.asarray(app_slots, np.int32))
+            )
+            self._block_ns = self._block_ns.at[r, p].set(jnp.asarray(ns))
+            self._block_inv = self._block_inv.at[r, p].set(
+                jnp.asarray(inv.astype(np.float32))
+            )
+        self._churn += len(slots)
+        self._maybe_rebuild()
+
+    def on_update(self, slots: np.ndarray, vectors: np.ndarray) -> None:
+        slots = np.asarray(slots, np.int64)
+        vectors = np.asarray(vectors, np.float32)
+        if not self._built:
+            return
+        self._grow_maps()
+        # re-assign: a vector whose nearest centroid changed moves blocks
+        # (in-place refresh would leave it invisible to the right probes)
+        cent_j, c_ns = self._cent_dev
+        new_assign = np.asarray(jnp.argmax(
+            2.0 * (jnp.asarray(vectors) @ cent_j.T) - c_ns[None, :], axis=1
+        ))
+        pos = self._slot_pos[slots]
+        known = pos[:, 0] >= 0
+        stay = known & (pos[:, 0] == new_assign)
+        moved = ~stay
+        if stay.any():
+            r = jnp.asarray(pos[stay, 0])
+            p = jnp.asarray(pos[stay, 1])
+            av = vectors[stay]
+            ns = np.sum(av.astype(np.float64) ** 2, axis=1).astype(np.float32)
+            inv = np.where(ns > 0, 1.0 / np.sqrt(np.maximum(ns, 1e-30)), 0.0)
+            self._blocks = self._blocks.at[r, p].set(
+                jnp.asarray(av.astype(self._np_compute_dtype()))
+            )
+            self._block_ns = self._block_ns.at[r, p].set(jnp.asarray(ns))
+            self._block_inv = self._block_inv.at[r, p].set(
+                jnp.asarray(inv.astype(np.float32))
+            )
+        if moved.any():
+            # vacate the old block entry, then append as a fresh insert
+            old = pos[moved & known]
+            if len(old):
+                self._block_slot = self._block_slot.at[
+                    jnp.asarray(old[:, 0]), jnp.asarray(old[:, 1])
+                ].set(-1)
+            self._slot_pos[slots[moved]] = -1
+            self._overflow.difference_update(int(s) for s in slots[moved])
+            self.on_insert(slots[moved], vectors[moved])
+        self._churn += len(slots)
+        self._maybe_rebuild()
+
+    def on_delete(self, slots: np.ndarray) -> None:
+        # validity is a query-time mask; just account churn + drop overflow
+        slots = np.asarray(slots, np.int64)
+        self._overflow.difference_update(int(s) for s in slots)
+        self._churn += len(slots)
+        self._maybe_rebuild()
+
+    def _grow_maps(self) -> None:
+        cap = self.store.capacity
+        if self._slot_pos is not None and len(self._slot_pos) < cap:
+            extra = cap - len(self._slot_pos)
+            self._slot_pos = np.concatenate(
+                [self._slot_pos, np.full((extra, 2), -1, np.int64)]
+            )
+
+    # ---------------------------------------------------------------- query
+
+    def _b_max(self, B: int, P: int, K: int) -> int:
+        # expected pairs per cluster = B*P/K; 4x headroom absorbs skew
+        return _pow2(max(8, int(np.ceil(4 * B * P / K))), lo=8, hi=1024)
+
+    def search_slots(
+        self,
+        queries,
+        k: int,
+        *,
+        mask=None,
+        negative=None,
+        negative_weight: float = 0.5,
+        exact: bool = False,
+    ):
+        q = np.asarray(queries, np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        per_query_mask = mask is not None and np.asarray(mask).ndim == 2
+        if (
+            exact
+            or not self._built
+            or per_query_mask
+            or self.store.metric == DistanceType.MANHATTAN
+            or self.store.size < self.config.build_threshold // 4
+        ):
+            return self._exact.search_slots(
+                q, k, mask=mask, negative=negative,
+                negative_weight=negative_weight,
+            )
+        dev = self.store.device_view()
+        keep = dev.valid
+        if mask is not None:
+            keep = keep & jnp.asarray(np.asarray(mask, bool))
+        # pad batch to pow2 (stable compiled shapes)
+        B0 = q.shape[0]
+        Bp = _pow2(B0, lo=8)
+        if Bp != B0:
+            q = np.concatenate([q, np.zeros((Bp - B0, q.shape[1]), np.float32)])
+        cent_j, c_ns = self._cent_dev
+        K = cent_j.shape[0]
+        retrieve_k = k if negative is None else min(max(2 * k, 30), self.store.size)
+        P = min(self.config.n_probe, K)
+        dist, idx = ivf_query(
+            jnp.asarray(q), cent_j, c_ns,
+            self._blocks, self._block_slot, self._block_ns, self._block_inv,
+            keep, dev.vectors,
+            metric=self._metric(), k=retrieve_k, n_probe=P,
+            b_max=self._b_max(Bp, P, K),
+            compute_dtype=self.compute_dtype,
+        )
+        dist = np.array(dist[:B0])  # writable copies: merge paths edit rows
+        idx = np.array(idx[:B0])
+        if self._overflow:
+            dist, idx = self._merge_overflow(
+                q[:B0], dist, idx, keep, retrieve_k
+            )
+        if negative is not None:
+            neg = np.asarray(negative, np.float32)
+            if neg.ndim == 1:
+                neg = np.broadcast_to(neg[None, :], (B0, q.shape[1]))
+            d2, i2 = negative_rerank(
+                jnp.asarray(dist), jnp.asarray(idx), dev.vectors,
+                jnp.asarray(neg), metric=self._metric(), k=k,
+                weight=negative_weight,
+            )
+            dist, idx = np.array(d2), np.array(i2)
+        dist, idx = dist[:, :k], idx[:, :k]
+        # under-fill supplement: probed clusters may not hold k live rows
+        found = (idx >= 0).sum(axis=1)
+        want = min(k, self.store.size)
+        if (found < want).any():
+            e_dist, e_idx = self._exact.search_slots(
+                q[:B0], k, mask=mask, negative=negative,
+                negative_weight=negative_weight,
+            )
+            from quiver_tpu.index.hnsw import _merge_rows
+
+            for b in np.flatnonzero(found < want):
+                dist[b], idx[b] = _merge_rows(
+                    dist[b], idx[b], e_dist[b], e_idx[b], k
+                )
+        return dist, idx
+
+    def _merge_overflow(self, q, dist, idx, keep, k):
+        """Exactly score the overflow rows (rows whose cluster block was
+        full) and merge — bounded-size brute force, classic IVF spill."""
+        from quiver_tpu.ops.distance import distance_pairs
+
+        slots = np.asarray(sorted(self._overflow), np.int64)
+        keep_np = np.asarray(keep)
+        slots = slots[keep_np[slots]]
+        if not len(slots):
+            return dist, idx
+        rows = self.store._np_vectors[slots]  # [O, d]
+        B = q.shape[0]
+        qb = np.repeat(q, len(slots), axis=0)
+        rb = np.tile(rows, (B, 1))
+        d_o = np.asarray(
+            distance_pairs(jnp.asarray(qb), jnp.asarray(rb), self._metric())
+        ).reshape(B, len(slots))
+        from quiver_tpu.index.hnsw import _merge_rows
+
+        o_idx = np.broadcast_to(slots[None, :], d_o.shape)
+        out_d = np.empty_like(dist)
+        out_i = np.empty_like(idx)
+        for b in range(B):
+            order = np.argsort(d_o[b])[:k]
+            out_d[b], out_i[b] = _merge_rows(
+                dist[b], idx[b], d_o[b][order], o_idx[b][order], dist.shape[1]
+            )
+        return out_d, out_i
+
+    # ----------------------------------------------------------- tunables
+
+    def get_optimization_parameters(self) -> dict:
+        return {
+            "n_probe": self.config.n_probe,
+            "n_clusters": self.n_clusters,
+            "kmeans_iters": self.config.kmeans_iters,
+        }
+
+    def set_optimization_parameters(self, **params) -> None:
+        if "n_probe" in params:
+            p = int(params["n_probe"])
+            if p <= 0:
+                raise ValueError("n_probe must be positive")
+            self.config.n_probe = p
+        unknown = set(params) - {"n_probe"}
+        if unknown:
+            raise ValueError(f"immutable or unknown parameters: {sorted(unknown)}")
+
+    def get_detailed_metrics(self) -> dict:
+        return {
+            "size": self.size,
+            "built": self._built,
+            "n_clusters": self.n_clusters,
+            "overflow": len(self._overflow),
+            "churn_since_build": self._churn,
+            "config": self.get_optimization_parameters(),
+        }
+
+    # ---------------------------------------------------------- persistence
+
+    def export_topology(self) -> Optional[dict]:
+        """Sidecar: centroids + assignment (slot-addressed), so load skips
+        k-means retraining (block layout is rebuilt deterministically)."""
+        if not self._built:
+            return None
+        assign = np.full(self.store.capacity, -1, np.int64)
+        live = self._slot_pos[:, 0] >= 0
+        assign[live] = self._slot_pos[live, 0]
+        return {
+            "format_version": np.int64(1),
+            "kind": np.bytes_(b"ivf"),
+            "centroids": self._centroids.copy(),
+            "assign": assign,
+        }
+
+    def import_topology(self, data: dict, slot_remap: np.ndarray) -> None:
+        kind = data.get("kind")
+        if kind is not None and bytes(kind) != b"ivf":
+            return
+        cents = np.asarray(data["centroids"], np.float32)
+        K = len(cents)
+        old_assign = np.asarray(data["assign"], np.int64)
+        assign = np.full(self.store.capacity, -1, np.int64)
+        old_slots = np.flatnonzero(old_assign >= 0)
+        new_slots = slot_remap[old_slots]
+        ok = new_slots >= 0
+        assign[new_slots[ok]] = old_assign[old_slots[ok]]
+        # rows the sidecar doesn't know (WAL adds) assign to their centroid
+        valid = self.store._np_valid
+        unknown = np.flatnonzero(valid & (assign < 0))
+        cent_j = jnp.asarray(cents)
+        c_ns = jnp.sum(cent_j * cent_j, axis=1)
+        if len(unknown):
+            dots = jnp.asarray(self.store._np_vectors[unknown]) @ cent_j.T
+            assign[unknown] = np.asarray(
+                jnp.argmax(2.0 * dots - c_ns[None, :], axis=1)
+            )
+        # deterministic block layout from (centroids, assignment)
+        self._centroids = cents
+        self._cent_dev = (cent_j, c_ns)
+        self._layout_from_assign(assign, K)
+
+    def _layout_from_assign(self, assign: np.ndarray, K: int) -> None:
+        c = self.config
+        vectors = self.store._np_vectors
+        n_live = int((assign >= 0).sum())
+        if n_live == 0:
+            self._built = False
+            return
+        cmax = _pow2(int(np.ceil(c.cmax_factor * max(n_live, 1) / K)), lo=8)
+        counts = np.bincount(assign[assign >= 0], minlength=K)
+        if counts.max(initial=0) > cmax:
+            cent_j, c_ns = self._cent_dev
+
+            def scores_fn(rows):
+                dots = jnp.asarray(vectors[rows]) @ cent_j.T
+                return np.asarray(2.0 * dots - c_ns[None, :])
+
+            assign = balance_assignment(assign, scores_fn, cmax, K)
+        blocks = np.zeros((K, cmax, self.store.dim), np.float32)
+        block_slot = np.full((K, cmax), -1, np.int32)
+        fill = np.zeros(K, np.int64)
+        slot_pos = np.full((self.store.capacity, 2), -1, np.int64)
+        order = np.argsort(assign, kind="stable")
+        order = order[assign[order] >= 0]
+        for c_id, slot in zip(assign[order], order):
+            p = fill[c_id]
+            blocks[c_id, p] = vectors[slot]
+            block_slot[c_id, p] = slot
+            slot_pos[slot] = (c_id, p)
+            fill[c_id] = p + 1
+        ns = np.sum(blocks.astype(np.float64) ** 2, axis=2).astype(np.float32)
+        inv = np.where(ns > 0, 1.0 / np.sqrt(np.maximum(ns, 1e-30)), 0.0).astype(
+            np.float32
+        )
+        self._blocks = jnp.asarray(blocks.astype(self._np_compute_dtype()))
+        self._block_slot = jnp.asarray(block_slot)
+        self._block_ns = jnp.asarray(ns)
+        self._block_inv = jnp.asarray(inv)
+        self._fill = fill
+        self._slot_pos = slot_pos
+        self._overflow = set()
+        self._built = True
+        self._built_size = n_live
+        self._churn = 0

@@ -1,0 +1,204 @@
+"""IVF engine tests: k-means mechanics, recall vs the exact oracle on
+clustered data, write paths (append / overflow spill / delete masks /
+update-in-place), facet masks, negative rerank, topology sidecar.
+
+Mirrors the reference's property-test pattern (insert-then-search recall,
+sorted results, exact-distance oracle — pkg/hnsw/hnsw_property_test.go)
+applied to the new engine."""
+
+import numpy as np
+import pytest
+
+from quiver_tpu.core.store import VectorStore
+from quiver_tpu.index.exact import ExactIndex
+from quiver_tpu.index.ivf import IVFConfig, IVFIndex
+
+D = 32
+
+
+def clustered(n, n_centers=40, seed=0, scale=0.15):
+    """SIFT-shaped synthetic data: gaussian blobs, NOT i.i.d. gaussian
+    (recall on i.i.d. data is meaningless — VERDICT.md weak #6)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_centers, D)).astype(np.float32)
+    which = rng.integers(0, n_centers, n)
+    return (centers[which] + scale * rng.normal(size=(n, D))).astype(np.float32)
+
+
+def make(n=5000, metric="euclidean", n_probe=8, build_threshold=256, **cfg):
+    vecs = clustered(n)
+    store = VectorStore(dim=D, metric=metric)
+    slots = store.add_batch([f"v{i}" for i in range(n)], vecs)
+    eng = IVFIndex(
+        store,
+        config=IVFConfig(n_probe=n_probe, build_threshold=build_threshold, **cfg),
+    )
+    eng.on_insert(slots, vecs)
+    return store, vecs, eng
+
+
+def recall_vs_oracle(store, eng, q, k=10):
+    od, oi = ExactIndex(store).search_slots(q, k)
+    gd, gi = eng.search_slots(q, k)
+    return np.mean([
+        len(set(gi[b].tolist()) & set(oi[b].tolist())) / k
+        for b in range(len(q))
+    ])
+
+
+def test_ivf_builds_and_self_recall():
+    store, vecs, eng = make()
+    assert eng._built and eng.n_clusters >= 8
+    d, i = eng.search_slots(vecs[:64], k=1)
+    assert (i[:, 0] == np.arange(64)).mean() >= 0.98
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "cosine", "dot_product"])
+def test_ivf_recall_on_clustered_data(metric):
+    store, vecs, eng = make(metric=metric, n_probe=16)
+    rng = np.random.default_rng(5)
+    q = (vecs[:48] + 0.05 * rng.normal(size=(48, D))).astype(np.float32)
+    rec = recall_vs_oracle(store, eng, q)
+    assert rec >= 0.92, f"{metric} recall {rec}"
+
+
+def test_ivf_recall_monotone_in_probes():
+    store, vecs, eng = make(n_probe=1)
+    rng = np.random.default_rng(6)
+    q = (vecs[:32] + 0.05 * rng.normal(size=(32, D))).astype(np.float32)
+    recalls = []
+    for p in (1, 4, 16):
+        eng.set_optimization_parameters(n_probe=p)
+        recalls.append(recall_vs_oracle(store, eng, q))
+    assert recalls[-1] >= recalls[0]
+    assert recalls[-1] >= 0.95
+
+
+def test_ivf_results_sorted_and_exact_distances():
+    store, vecs, eng = make()
+    d, i = eng.search_slots(vecs[:8], k=10)
+    od, oi = ExactIndex(store).search_slots(vecs[:8], k=10)
+    for b in range(8):
+        live = d[b][i[b] >= 0]
+        assert (np.diff(live) >= -1e-6).all()
+        # distances of agreed ids match the exact oracle (f32 rescore)
+        common = set(i[b].tolist()) & set(oi[b].tolist())
+        for s in common:
+            got = d[b][list(i[b]).index(s)]
+            want = od[b][list(oi[b]).index(s)]
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_ivf_delete_is_query_time_mask():
+    store, vecs, eng = make(n=2000)
+    d, i = eng.search_slots(vecs[0], k=2)
+    victim = int(i[0, 0])
+    store.delete_batch([store.id_of(victim)])
+    eng.on_delete(np.asarray([victim]))
+    d2, i2 = eng.search_slots(vecs[0], k=5)
+    assert victim not in set(i2[0].tolist())
+
+
+def test_ivf_incremental_insert_appends():
+    store, vecs, eng = make(n=3000)
+    rng = np.random.default_rng(9)
+    new = clustered(50, seed=9)
+    slots = store.add_batch([f"n{i}" for i in range(50)], new)
+    eng.on_insert(slots, new)
+    d, i = eng.search_slots(new[:16], k=1)
+    hits = np.mean([int(i[b, 0]) == int(slots[b]) for b in range(16)])
+    assert hits >= 0.9
+
+
+def test_ivf_overflow_spill_scanned():
+    # tiny cmax forces overflow: cmax_factor small + many inserts to one blob
+    store, vecs, eng = make(n=1000, cmax_factor=1.05)
+    point = vecs[0:1]
+    new = np.repeat(point, 64, axis=0) + 0.001 * np.random.default_rng(1).normal(
+        size=(64, D)
+    ).astype(np.float32)
+    slots = store.add_batch([f"o{i}" for i in range(64)], new)
+    eng.on_insert(slots, new)
+    # whether appended or spilled, every new row must be findable
+    d, i = eng.search_slots(new[:8], k=1)
+    assert all(store.id_of(int(s)).startswith(("o", "v")) for s in i[:, 0])
+    got = eng.search_slots(point, k=40)[1][0]
+    assert len(set(int(x) for x in got if x >= 0) & set(int(s) for s in slots)) > 0
+
+
+def test_ivf_update_in_place():
+    store, vecs, eng = make(n=2000)
+    far = (vecs[100] + 10.0).astype(np.float32)
+    store.update_batch(["v5"], [far])
+    eng.on_update(np.asarray([store.slot_of("v5")]), far[None, :])
+    d, i = eng.search_slots(far, k=1)
+    assert store.id_of(int(i[0, 0])) == "v5"
+
+
+def test_ivf_mask_fused():
+    store, vecs, eng = make(n=2000)
+    mask = np.zeros(store.capacity, bool)
+    mask[:50] = True
+    d, i = eng.search_slots(vecs[:4], k=5, mask=mask)
+    assert (i[i >= 0] < 50).all()
+
+
+def test_ivf_negative_rerank():
+    store, vecs, eng = make(n=2000)
+    d0, i0 = eng.search_slots(vecs[:8], k=5)
+    dn, in_ = eng.search_slots(vecs[:8], k=5, negative=vecs[:8],
+                               negative_weight=5.0)
+    assert (in_[:, 0] != i0[:, 0]).any()
+
+
+def test_ivf_rebuild_on_churn():
+    store, vecs, eng = make(n=1000, rebuild_growth=0.1)
+    k_before = eng.n_clusters
+    built_size_before = eng._built_size
+    new = clustered(300, seed=11)
+    slots = store.add_batch([f"r{i}" for i in range(300)], new)
+    eng.on_insert(slots, new)
+    assert eng._built_size > built_size_before  # rebuilt
+    assert eng._churn == 0
+
+
+def test_ivf_small_corpus_falls_back_exact():
+    vecs = clustered(100)
+    store = VectorStore(dim=D, metric="euclidean")
+    slots = store.add_batch([f"v{i}" for i in range(100)], vecs)
+    eng = IVFIndex(store, config=IVFConfig(build_threshold=10_000))
+    eng.on_insert(slots, vecs)
+    assert not eng._built
+    d, i = eng.search_slots(vecs[:4], k=3)
+    assert (i[:, 0] == np.arange(4)).all()
+
+
+def test_ivf_topology_sidecar_roundtrip(tmp_path):
+    from quiver_tpu.core.db import DB, DBOptions
+    from quiver_tpu.types import SearchRequest
+
+    opts = DBOptions(
+        storage_path=str(tmp_path / "d"), default_engine="ivf",
+        flush_interval_s=0,
+        engine_config={"config": IVFConfig(n_probe=8, build_threshold=256)},
+    )
+    db = DB(opts)
+    c = db.create_collection("iv", D, "euclidean")
+    vecs = clustered(2000)
+    c.add_batch([f"v{i}" for i in range(2000)], vecs)
+    assert c.engine._built
+    db.close()
+
+    db2 = DB(DBOptions(
+        storage_path=str(tmp_path / "d"), default_engine="ivf",
+        flush_interval_s=0,
+        engine_config={"config": IVFConfig(n_probe=8, build_threshold=256)},
+    ))
+    c2 = db2.get_collection("iv")
+    # loaded via the sidecar: same centroids, no retrain
+    np.testing.assert_allclose(
+        c2.engine._centroids, c.engine._centroids, rtol=1e-6
+    )
+    r = c2.search(SearchRequest(vector=vecs[3], top_k=1))
+    assert r.results[0].id == "v3"
+    db2.close()
