@@ -8,7 +8,13 @@ import time
 
 import numpy as np
 
-from benches.common import emit, env_int, make_corpus, pipelined_ms, recall_at_k
+from benches.common import (
+    emit,
+    env_int,
+    make_clustered_corpus,
+    pipelined_ms,
+    recall_at_k,
+)
 
 
 def main():
@@ -20,7 +26,7 @@ def main():
 
     N = env_int("QUIVER_BENCH_N", 50_000)
     D, B, K = 128, 256, 10
-    vecs, rng = make_corpus(N, D)
+    vecs, rng = make_clustered_corpus(N, D)
     store = VectorStore(dim=D, metric="euclidean", capacity=max(N, 1024))
     idx = HNSWIndex(store, build_batch=env_int("QUIVER_BENCH_BUILD_BATCH", 8192),
                     compute_dtype=jnp.bfloat16)
@@ -31,8 +37,10 @@ def main():
     emit(f"hnsw build wall-clock, N={N} d={D} M=16 efC=200", build_s, "s",
          inserts_per_s=round(N / build_s, 1))
 
-    queries = rng.normal(size=(B, D)).astype(np.float32)
-    exact = ExactIndex(store, compute_dtype=jnp.bfloat16, approx_recall=0.95)
+    # near-corpus queries + EXACT f32 oracle for truth (an approximate or
+    # bf16 oracle makes recall unmeasurable — VERDICT.md weak #6)
+    queries = (vecs[:B] + 0.1 * rng.normal(size=(B, D))).astype(np.float32)
+    exact = ExactIndex(store)
     _, truth = exact.search_slots(queries, K)
     for ef in (50, 100, 200):
         idx.config.ef_search = ef

@@ -48,6 +48,20 @@ def make_corpus(n: int, d: int, seed: int = 0):
     return rng.normal(size=(n, d)).astype(np.float32), rng
 
 
+def make_clustered_corpus(n: int, d: int, seed: int = 0, n_centers: int = 0,
+                          spread: float = 0.25):
+    """SIFT-shaped synthetic corpus: gaussian blobs with local structure.
+    Recall numbers on i.i.d. gaussian data are meaningless — every point is
+    nearly equidistant, so any candidate set looks fine (VERDICT.md weak
+    #6); real embedding corpora are clustered, like this."""
+    rng = np.random.default_rng(seed)
+    n_centers = n_centers or max(32, n // 1000)
+    centers = rng.normal(size=(n_centers, d)).astype(np.float32)
+    which = rng.integers(0, n_centers, n)
+    out = centers[which] + spread * rng.normal(size=(n, d)).astype(np.float32)
+    return out.astype(np.float32), rng
+
+
 def recall_at_k(got_idx, truth_idx, k: int) -> float:
     return float(np.mean([
         len(set(got_idx[b].tolist()) & set(truth_idx[b].tolist())) / k

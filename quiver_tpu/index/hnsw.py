@@ -93,31 +93,77 @@ def _intra_batch_candidates(q, batch_slots, member, cand_d, cand_i, *,
     )
 
 
-@_partial(jax.jit, static_argnames=("metric", "ef", "max_iters", "m", "kk",
-                                    "intra", "compute_dtype"))
-def _level_search_select(q, entries, vectors, valid, adj, pos_map,
-                         batch_slots, member, *, metric, ef, max_iters, m,
-                         kk, intra, compute_dtype):
-    """One fused program per connected level: beam search + (optional)
-    intra-batch kNN candidates + diversity selection. Each separate dispatch
-    costs a round-trip on remote links; fusing was measured to matter more
-    than any of the individual kernels."""
-    cand_d, cand_i = beam_search(
-        q, entries, vectors, valid, adj, pos_map,
-        metric=metric, ef=ef, max_iters=max_iters,
-        compute_dtype=compute_dtype,
-    )
-    if intra:
-        cand_d, cand_i = _intra_batch_candidates(
-            q, batch_slots, member, cand_d, cand_i,
-            kk=kk, metric=metric, compute_dtype=compute_dtype,
+@_partial(
+    jax.jit,
+    static_argnames=("metric", "efc", "max_iters", "kk", "intra",
+                     "compute_dtype", "u_budget", "e_budget", "c_lvls"),
+    donate_argnums=(8, 9),  # connect-layer adjacency + fill stacks
+)
+def _fused_build_step(
+    q,  # f32[B, d] padded insert batch
+    slots,  # i32[B] store slots (-1 pad)
+    levels,  # i32[B] sampled levels (-1 pad)
+    entry,  # i32[] current entry point
+    vectors, valid,  # store device view
+    r_adjs, r_poss,  # routing layers, top-down (tuples)
+    c_adjs, c_fills, c_poss,  # connect layers, top-down .. level 0 (tuples)
+    *,
+    metric, efc, max_iters, kk, intra, compute_dtype,
+    u_budget, e_budget,
+    c_lvls,  # static tuple: the level number of each connect layer
+):
+    """ONE device program for a whole insert batch: greedy routing through
+    the layers above the batch, then per connected level — beam search +
+    intra-batch kNN + diversity selection + forward/reverse edge commit
+    with on-device overflow re-selection (ops.hnsw_kernels.connect_level).
+
+    The previous formulation dispatched ~8 programs and synced twice per
+    level per batch; on a remote-dispatch link those round-trips — not
+    device compute — capped build throughput (VERDICT.md weak #4). This
+    runs the entire batch with ZERO host syncs; the spill counter stays on
+    device and is only fetched by metrics."""
+    from quiver_tpu.ops.hnsw_kernels import connect_level
+
+    B = q.shape[0]
+    entries = jnp.broadcast_to(entry, (B,))
+    for adj, pos in zip(r_adjs, r_poss):
+        _, e2 = greedy_descent(
+            q, entries, vectors, valid, adj, pos,
+            metric=metric, compute_dtype=compute_dtype,
         )
-    sel_i, sel_d = select_neighbors(
-        q, cand_i, cand_d, vectors, metric=metric, m=m,
-        compute_dtype=compute_dtype,
-    )
-    best = jnp.where(cand_i[:, 0] >= 0, cand_i[:, 0], entries)
-    return sel_i, best
+        entries = jnp.where(e2 >= 0, e2, entries)
+
+    out_adjs, out_fills = [], []
+    spill = jnp.int32(0)
+    for adj, fill, pos, lvl in zip(c_adjs, c_fills, c_poss, c_lvls):
+        deg = adj.shape[1]
+        ef = max(efc, deg)
+        cand_d, cand_i = beam_search(
+            q, entries, vectors, valid, adj, pos,
+            metric=metric, ef=ef, max_iters=max_iters,
+            compute_dtype=compute_dtype,
+        )
+        connect = (levels >= lvl) & (slots >= 0)
+        if intra:
+            cand_d, cand_i = _intra_batch_candidates(
+                q, slots, connect, cand_d, cand_i,
+                kk=kk, metric=metric, compute_dtype=compute_dtype,
+            )
+        sel_i, _sel_d = select_neighbors(
+            q, cand_i, cand_d, vectors, metric=metric, m=deg,
+            compute_dtype=compute_dtype,
+        )
+        sel_i = jnp.where(connect[:, None], sel_i, -1)
+        entries = jnp.where(cand_i[:, 0] >= 0, cand_i[:, 0], entries)
+        adj, fill, sp = connect_level(
+            adj, fill, pos, vectors, slots, connect, sel_i,
+            metric=metric, u_budget=u_budget, e_budget=e_budget,
+            compute_dtype=compute_dtype,
+        )
+        out_adjs.append(adj)
+        out_fills.append(fill)
+        spill = spill + sp
+    return tuple(out_adjs), tuple(out_fills), spill
 
 
 @dataclass
@@ -158,6 +204,7 @@ class _Layer:
         self._adj_host = np.zeros((0, deg), np.int32)
         self._host_stale = False
         self._adj_dev = None  # jnp [row_cap, deg]
+        self._fill_dev = None  # jnp i32[row_cap] (device-authoritative in builds)
         self._pos_dev = None  # jnp [capacity]
         self._pos_pending: list[int] = []
         self._pos_full_sync = True
@@ -170,6 +217,7 @@ class _Layer:
         if self._host_stale and self._adj_dev is not None:
             n = len(self.nodes)
             self._adj_host = np.asarray(self._adj_dev[:n])
+            self.fill = (self._adj_host >= 0).sum(axis=1).astype(np.int16)
             self._host_stale = False
         return self._adj_host
 
@@ -181,6 +229,7 @@ class _Layer:
         self.fill = (self._adj_host >= 0).sum(axis=1).astype(np.int16)
         self._host_stale = False
         self._adj_dev = None
+        self._fill_dev = None
 
     def add_nodes(self, slots: np.ndarray) -> None:
         base = len(self.nodes)
@@ -200,7 +249,10 @@ class _Layer:
         if extra > 0:
             self.pos = np.concatenate([self.pos, np.full(extra, -1, np.int32)])
             self._pos_full_sync = True
-            self._adj_dev = None  # re-pad rows to the new capacity
+            # re-pad rows to the new capacity (download first if stale)
+            _ = self.adj
+            self._adj_dev = None
+            self._fill_dev = None
 
     def remove_nodes(self, slots: np.ndarray) -> None:
         # tombstone: keep the row (queries skip invalid ids via the valid
@@ -229,19 +281,25 @@ class _Layer:
             self._pos_pending.clear()
         return self._adj_dev, self._pos_dev
 
+    def device_fill(self) -> jax.Array:
+        """Device-resident live-edge counts, aligned with ``device()``'s
+        adjacency rows."""
+        if self._fill_dev is None:
+            rows = self._adj_dev.shape[0] if self._adj_dev is not None else 0
+            f = np.zeros(max(rows, len(self.pos)), np.int32)
+            f[: len(self.fill)] = self.fill
+            self._fill_dev = jnp.asarray(f)
+        return self._fill_dev
+
     def write_rows_dev(self, rows: np.ndarray, values, counts: np.ndarray) -> None:
         """Replace whole adjacency rows on device (values may be a device
         array — no download); host mirror goes stale."""
+        self.device_fill()
         self._adj_dev = self._adj_dev.at[jnp.asarray(rows)].set(values)
+        self._fill_dev = self._fill_dev.at[jnp.asarray(rows)].set(
+            jnp.asarray(counts.astype(np.int32))
+        )
         self.fill[rows] = counts.astype(np.int16)
-        self._host_stale = True
-
-    def append_cells_dev(self, rows: np.ndarray, cols: np.ndarray,
-                         vals: np.ndarray) -> None:
-        """Append edges into known-free cells on device."""
-        self._adj_dev = self._adj_dev.at[
-            jnp.asarray(rows), jnp.asarray(cols)
-        ].set(jnp.asarray(vals))
         self._host_stale = True
 
 
@@ -274,6 +332,9 @@ class HNSWIndex:
         self._dev_gen = -1
         self._graph_version = 0
         self._dev = None
+        #: device-side running count of reverse edges dropped past the
+        #: connect budgets (fetched only by get_detailed_metrics)
+        self._spill_dev = None
 
     # ------------------------------------------------------------ properties
 
@@ -374,55 +435,56 @@ class HNSWIndex:
         q_np, real_b = _pad_batch_pow2(vecs)
         q = jnp.asarray(q_np)
         B = q_np.shape[0]
-        entries = jnp.full((B,), self.entry_point, jnp.int32)
-        pad_levels = np.full(B, -1, np.int16)
+        pad_levels = np.full(B, -1, np.int32)
         pad_levels[:real_b] = levels
-        levels = pad_levels
-        pad_slots = np.full(B, -1, np.int64)
+        pad_slots = np.full(B, -1, np.int32)
         pad_slots[:real_b] = slots
-        slots = pad_slots
 
-        # greedy descent through layers above each node's level, then beam
-        # search + connect at each layer <= node level (hnsw.go:337-468),
-        # batched level-synchronously over the whole insert batch. All graph
-        # mutations are on-device scatters; only the [n, deg] selection
-        # matrix is downloaded (for reverse-edge grouping).
-        for l in range(self.current_max_level, -1, -1):
-            layer = self._layer(l)
+        # greedy descent through layers above the batch's top level, then
+        # beam search + connect at each layer <= node level (hnsw.go:337-468)
+        # — the WHOLE batch runs as ONE fused device program with zero host
+        # syncs (_fused_build_step); the driver of build throughput on
+        # remote links is dispatch count, not device compute.
+        batch_max = min(int(levels.max(initial=0)), self.current_max_level)
+        r_adjs, r_poss = [], []
+        for l in range(self.current_max_level, batch_max, -1):
+            adj_dev, pos_dev = self._layer(l).device(self.store.capacity)
+            r_adjs.append(adj_dev)
+            r_poss.append(pos_dev)
+        c_layers = [self._layer(l) for l in range(batch_max, -1, -1)]
+        c_adjs, c_fills, c_poss = [], [], []
+        for layer in c_layers:
             adj_dev, pos_dev = layer.device(self.store.capacity)
-            connect_here = levels >= l
-            if not connect_here.any():
-                # pure routing layer for this batch
-                _, entries = greedy_descent(
-                    q, entries, dev.vectors, dev.valid, adj_dev, pos_dev,
-                    metric=self._metric(), compute_dtype=self.compute_dtype,
-                )
-                continue
-            ef = max(c.ef_construction, c.m0 if l == 0 else c.m)
-            deg = layer.deg
-            sel_i, entries = _level_search_select(
-                q, entries, dev.vectors, dev.valid, adj_dev, pos_dev,
-                jnp.asarray(slots.astype(np.int32)),
-                jnp.asarray(connect_here),
-                metric=self._metric(), ef=ef,
-                max_iters=int(1.5 * ef) + 8, m=deg,
-                kk=min(_pow2(2 * deg, lo=16), B),
-                intra=bool(c.intra_batch_links),
-                compute_dtype=self.compute_dtype,
-            )
-            sel_np = np.asarray(sel_i)[np.flatnonzero(connect_here)]  # [n, deg]
-            rows = layer.pos[slots[connect_here]]
-            layer.write_rows_dev(
-                rows,
-                jnp.asarray(sel_np),
-                (sel_np >= 0).sum(axis=1),
-            )
-            self._add_reverse_edges(l, slots[connect_here], sel_np, dev)
+            c_adjs.append(adj_dev)
+            c_fills.append(layer.device_fill())
+            c_poss.append(pos_dev)
+        out_adjs, out_fills, spill = _fused_build_step(
+            q, jnp.asarray(pad_slots), jnp.asarray(pad_levels),
+            jnp.int32(self.entry_point), dev.vectors, dev.valid,
+            tuple(r_adjs), tuple(r_poss),
+            tuple(c_adjs), tuple(c_fills), tuple(c_poss),
+            metric=self._metric(), efc=c.ef_construction,
+            max_iters=int(1.5 * max(c.ef_construction, c.m0)) + 8,
+            kk=min(_pow2(2 * c.m0, lo=16), B),
+            intra=bool(c.intra_batch_links),
+            compute_dtype=self.compute_dtype,
+            u_budget=_pow2(max(B // 2, 64)),
+            e_budget=_pow2(2 * c.m0, lo=32),
+            c_lvls=tuple(range(batch_max, -1, -1)),
+        )
+        for layer, adj_new, fill_new in zip(c_layers, out_adjs, out_fills):
+            layer._adj_dev = adj_new
+            layer._fill_dev = fill_new
+            layer._host_stale = True
+        # spill stays device-side; accumulate without forcing a sync
+        self._spill_dev = (
+            spill if self._spill_dev is None else self._spill_dev + spill
+        )
 
         # entry point promotion
-        best = int(levels.max(initial=-1))
+        best = int(pad_levels.max(initial=-1))
         if best > self.current_max_level:
-            self.entry_point = int(slots[int(np.argmax(levels))])
+            self.entry_point = int(pad_slots[int(np.argmax(pad_levels))])
             self.current_max_level = best
 
     def _bootstrap(self, slots: np.ndarray, vecs: np.ndarray,
@@ -463,93 +525,6 @@ class HNSWIndex:
             layer.write_rows_dev(rows, sel_i, (sel_np >= 0).sum(axis=1))
         self.entry_point = int(slots[int(np.argmax(levels))])
         self.current_max_level = int(levels.max(initial=0))
-
-    def _add_reverse_edges(self, level: int, new_slots: np.ndarray,
-                           sel: np.ndarray, dev) -> None:
-        """Bidirectional linking (hnsw.go:413-459): append new -> target
-        back-edges on device; rows that would overflow re-run the diversity
-        selection in one batched kernel over all overflowed targets.
-
-        Host work is bookkeeping only (grouping by target via the per-row
-        fill counts); the adjacency itself never round-trips.
-        """
-        layer = self._layer(level)
-        deg = layer.deg
-        mask = sel >= 0
-        if not mask.any():
-            return
-        targets = sel[mask].astype(np.int64)
-        sources = np.broadcast_to(
-            new_slots[:, None], sel.shape
-        )[mask].astype(np.int64)
-        order = np.argsort(targets, kind="stable")
-        targets, sources = targets[order], sources[order]
-        uniq, starts, counts = np.unique(
-            targets, return_index=True, return_counts=True
-        )
-        rows = layer.pos[uniq]
-        live = rows >= 0
-        uniq, starts, counts, rows = uniq[live], starts[live], counts[live], rows[live]
-        if len(uniq) == 0:
-            return
-        fill = layer.fill[rows].astype(np.int64)
-        total = fill + counts
-        fits = total <= deg
-
-        # gather the edges of the surviving (live-target) groups and the
-        # position of each edge within its group — fully vectorized
-        tot = int(counts.sum())
-        grp_base = np.cumsum(counts) - counts
-        group_pos = np.arange(tot) - np.repeat(grp_base, counts)
-        edge_sel = np.repeat(starts, counts) + group_pos
-        sources = sources[edge_sel]
-        uid_of_edge = np.repeat(np.arange(len(uniq)), counts)
-
-        # fast path: append into known-free cells (hnswlib appends without
-        # pruning until the row is full). Duplicate sources can't occur:
-        # every source is a new node this batch, absent from existing rows.
-        fit_idx = np.flatnonzero(fits)
-        if len(fit_idx):
-            edge_fits = fits[uid_of_edge]
-            app_rows = rows[uid_of_edge[edge_fits]].astype(np.int64)
-            app_cols = (fill[uid_of_edge[edge_fits]]
-                        + group_pos[edge_fits]).astype(np.int64)
-            layer.append_cells_dev(
-                app_rows, app_cols, sources[edge_fits].astype(np.int32)
-            )
-            layer.fill[rows[fit_idx]] = total[fit_idx].astype(np.int16)
-
-        # overflow path: one fused device program re-selects all
-        # overflowed rows (gather + distances + diversity prune + write-back)
-        over = np.flatnonzero(~fits)
-        if len(over):
-            gmax = int(counts[over].max())
-            extra = np.full((len(over), gmax), -1, np.int32)
-            edge_over = ~fits[uid_of_edge]
-            over_rank = np.full(len(uniq), -1)
-            over_rank[over] = np.arange(len(over))
-            extra[over_rank[uid_of_edge[edge_over]],
-                  group_pos[edge_over]] = sources[edge_over]
-            # bucket shapes to pow2 so kernels don't recompile per batch
-            U = _pow2(len(over))
-            E = _pow2(gmax)
-            extra = _pad_rows_to(
-                np.pad(extra, ((0, 0), (0, E - gmax)), constant_values=-1), U
-            )
-            rows_over = _pad_rows_to(rows[over].astype(np.int64), U, fill=0)
-            t_slots = _pad_rows_to(uniq[over].astype(np.int64), U, fill=0)
-            adj_dev, _ = layer.device(self.store.capacity)
-            from quiver_tpu.ops.hnsw_kernels import reverse_prune
-
-            new_adj, counts_dev = reverse_prune(
-                adj_dev, dev.vectors, jnp.asarray(rows_over),
-                jnp.asarray(extra), jnp.asarray(t_slots),
-                metric=self._metric(), m=deg,
-                compute_dtype=self.compute_dtype,
-            )
-            layer._adj_dev = new_adj
-            layer._host_stale = True
-            layer.fill[rows[over]] = np.asarray(counts_dev)[: len(over)].astype(np.int16)
 
     def _dirty(self) -> None:
         self._graph_version += 1
@@ -598,6 +573,9 @@ class HNSWIndex:
             "max_level": self.current_max_level,
             "layer_nodes": [len(self.layer0.nodes)]
             + [len(l.nodes) for l in self.layers],
+            "reverse_edges_spilled": (
+                0 if self._spill_dev is None else int(self._spill_dev)
+            ),
             "config": self.get_optimization_parameters(),
         }
 

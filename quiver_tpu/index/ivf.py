@@ -452,16 +452,17 @@ class IVFIndex:
             assign = balance_assignment(assign, scores_fn, cmax, K)
         blocks = np.zeros((K, cmax, self.store.dim), np.float32)
         block_slot = np.full((K, cmax), -1, np.int32)
-        fill = np.zeros(K, np.int64)
         slot_pos = np.full((self.store.capacity, 2), -1, np.int64)
         order = np.argsort(assign, kind="stable")
         order = order[assign[order] >= 0]
-        for c_id, slot in zip(assign[order], order):
-            p = fill[c_id]
-            blocks[c_id, p] = vectors[slot]
-            block_slot[c_id, p] = slot
-            slot_pos[slot] = (c_id, p)
-            fill[c_id] = p + 1
+        sorted_c = assign[order]
+        fill = np.bincount(sorted_c, minlength=K).astype(np.int64)
+        first = np.concatenate([[0], np.cumsum(fill)[:-1]])
+        pos_in = np.arange(len(order)) - first[sorted_c]
+        blocks[sorted_c, pos_in] = vectors[order]
+        block_slot[sorted_c, pos_in] = order
+        slot_pos[order, 0] = sorted_c
+        slot_pos[order, 1] = pos_in
         ns = np.sum(blocks.astype(np.float64) ** 2, axis=2).astype(np.float32)
         inv = np.where(ns > 0, 1.0 / np.sqrt(np.maximum(ns, 1e-30)), 0.0).astype(
             np.float32

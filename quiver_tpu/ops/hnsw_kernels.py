@@ -276,37 +276,119 @@ def greedy_descent(
     return cd, ci
 
 
-@partial(jax.jit, static_argnames=("metric", "m", "compute_dtype"),
-         donate_argnums=(0,))
-def reverse_prune(
-    adj: jax.Array,  # i32[rows, deg] layer adjacency (donated, updated)
+def connect_level(
+    adj: jax.Array,  # i32[rows, deg] layer adjacency
+    fill: jax.Array,  # i32[rows] live-edge counts
+    pos_map: jax.Array,  # i32[cap]
     vectors: jax.Array,  # f32[cap, d]
-    rows: jax.Array,  # i64[U] adjacency rows to re-select
-    extra: jax.Array,  # i32[U, E] appended back-edge sources (-1 pad)
-    t_slots: jax.Array,  # i64[U] target vector slots
+    slots: jax.Array,  # i32[B] new node slots (-1 pad)
+    connect: jax.Array,  # bool[B] node connects at this level
+    sel: jax.Array,  # i32[B, deg] selected forward neighbors (-1 pad)
     *,
     metric: str,
-    m: int,
+    u_budget: int,
+    e_budget: int,
     compute_dtype=jnp.float32,
 ):
-    """Overflowed reverse-edge rows: ONE fused program that gathers the
-    current row + appended sources, recomputes distances to the target, runs
-    the diversity selection, and writes the pruned rows back. (Running these
-    steps eagerly costs one dispatch round-trip per primitive — ruinous on a
-    remote-dispatch link.) Returns (adj', counts[U])."""
-    cur = adj[rows]  # [U, deg]
-    c_ids = jnp.concatenate([cur, extra], axis=1)
-    q_vecs = vectors[t_slots].astype(jnp.float32)
+    """Device-side level connect: forward rows + bidirectional reverse
+    edges + overflow re-selection — the whole mutation of one layer for one
+    insert batch, traceable inside a single fused build program (the host
+    round-trips this replaces were the build-throughput ceiling on
+    remote-dispatch links; reference semantics: hnsw.go:413-459).
+
+    Reverse edges group by target row with the static sort/rank pattern:
+    fitting edges append into known-free cells; rows that would overflow
+    re-run the diversity selection over (current row + appended sources),
+    processed in ``u_budget`` row slots with up to ``e_budget`` appended
+    sources each. Returns (adj', fill', spilled) where ``spilled`` counts
+    overflow rows/edges beyond the budgets (dropped back-edges — bounded
+    recall cost, surfaced to the host as one scalar)."""
+    metric = DistanceType.parse(metric)
+    rows_cap, deg = adj.shape
+    B = slots.shape[0]
+
+    # ---- forward rows
+    row_of_new = jnp.where(
+        connect & (slots >= 0), pos_map[jnp.maximum(slots, 0)], rows_cap
+    )
+    adj = adj.at[row_of_new].set(sel, mode="drop")
+    fill = fill.at[row_of_new].set(jnp.sum(sel >= 0, axis=1), mode="drop")
+
+    # ---- reverse edges, grouped by target row
+    tgt = sel.reshape(-1)  # [B*deg]
+    src = jnp.repeat(slots, deg)
+    ok = connect[:, None].repeat(deg, 1).reshape(-1) & (tgt >= 0) & (src >= 0)
+    row = jnp.where(ok, pos_map[jnp.maximum(tgt, 0)], rows_cap)
+    ok = ok & (row < rows_cap) & (row >= 0)
+    row = jnp.where(ok, row, rows_cap)
+
+    order = jnp.argsort(row)
+    srow = row[order]
+    ssrc = src[order]
+    stgt = tgt[order]
+    sok = srow < rows_cap
+    E = srow.shape[0]
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), srow[1:] != srow[:-1]]
+    )
+    pos_e = jnp.arange(E, dtype=jnp.int32)
+    start_pos = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, pos_e, 0)
+    )
+    rank = pos_e - start_pos
+    base = fill[jnp.minimum(srow, rows_cap - 1)]
+    col = base + rank
+    fits = sok & (col < deg)
+
+    adj = adj.at[
+        jnp.where(fits, srow, rows_cap), jnp.where(fits, col, 0)
+    ].set(ssrc, mode="drop")
+    fill = fill.at[jnp.where(fits, srow, rows_cap)].add(
+        1, mode="drop"
+    )
+
+    # ---- overflow rows: re-select over (current row + appended sources)
+    over = sok & ~fits
+    orank = col - deg  # 0-based index among a row's overflow sources
+    first_over = over & (
+        jnp.concatenate([jnp.ones((1,), bool), ~over[:-1] | is_start[1:]])
+    )
+    # rows are contiguous after the sort, so a running count of first_over
+    # numbers the overflow rows globally
+    ouidx = jnp.cumsum(first_over.astype(jnp.int32)) - 1
+    keep_e = over & (orank < e_budget) & (ouidx < u_budget)
+    extras = jnp.full((u_budget, e_budget), -1, jnp.int32).at[
+        jnp.where(keep_e, ouidx, u_budget), jnp.where(keep_e, orank, 0)
+    ].set(ssrc, mode="drop")
+    keep_r = first_over & (ouidx < u_budget)
+    orows = jnp.full((u_budget,), rows_cap, jnp.int32).at[
+        jnp.where(keep_r, ouidx, u_budget)
+    ].set(srow, mode="drop")
+    otgts = jnp.full((u_budget,), -1, jnp.int32).at[
+        jnp.where(keep_r, ouidx, u_budget)
+    ].set(stgt, mode="drop")
+
+    live_o = orows < rows_cap
+    cur = adj[jnp.minimum(orows, rows_cap - 1)]  # [U, deg]
+    c_ids = jnp.concatenate([cur, extras], axis=1)
+    c_ids = jnp.where(live_o[:, None], c_ids, -1)
+    q_vecs = vectors[jnp.maximum(otgts, 0)].astype(jnp.float32)
     c_vecs = vectors[jnp.maximum(c_ids, 0)]
-    c_d = _batched_distance(q_vecs, c_vecs, DistanceType.parse(metric),
-                            compute_dtype)
+    c_d = _batched_distance(q_vecs, c_vecs, metric, compute_dtype)
     c_d = jnp.where(c_ids >= 0, c_d, MASKED_DIST)
-    sel_i, _ = select_neighbors(
-        q_vecs, c_ids, c_d, vectors, metric=metric, m=m,
+    sel_o, _ = select_neighbors(
+        q_vecs, c_ids, c_d, vectors, metric=metric, m=deg,
         compute_dtype=compute_dtype,
     )
-    adj = adj.at[rows].set(sel_i)
-    return adj, (sel_i >= 0).sum(axis=1)
+    adj = adj.at[jnp.where(live_o, orows, rows_cap)].set(sel_o, mode="drop")
+    fill = fill.at[jnp.where(live_o, orows, rows_cap)].set(
+        jnp.sum(sel_o >= 0, axis=1), mode="drop"
+    )
+
+    spilled = jnp.sum(over & ~keep_e) + jnp.maximum(
+        jnp.max(jnp.where(first_over, ouidx, -1), initial=-1) + 1 - u_budget, 0
+    )
+    return adj, fill, spilled
 
 
 @partial(jax.jit, static_argnames=("metric", "m", "compute_dtype"))

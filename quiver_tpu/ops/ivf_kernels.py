@@ -49,27 +49,37 @@ def _affine_block_scores(dots, norms_sq, inv_norms, metric):
 
 @partial(jax.jit, static_argnames=("n_iters",), donate_argnums=(1,))
 def _lloyd_iters(x, centroids, valid, n_iters: int):
-    """Lloyd's k-means on device: assignment via one [N, K] matmul argmax
-    per iteration, update via segment-sum. Invalid rows never contribute.
+    """Lloyd's k-means on device: assignment via row-blocked matmul argmax
+    (the [N, K] score matrix would be N*K*4 bytes — 16 GB at 1M x 4096 —
+    so blocks keep peak HBM bounded and let XLA fuse the argmax into each
+    block's matmul), update via segment-sum. Invalid rows never contribute.
     Empty clusters keep their previous centroid (host fixes them up)."""
     n, d = x.shape
     k = centroids.shape[0]
     ones = jnp.where(valid, 1.0, 0.0)
+    # row block: <= 256 MB of scores
+    bs = max(1, min(n, (1 << 26) // max(k, 1)))
+    while n % bs != 0:  # n is pow2-padded by the store; keep bs a divisor
+        bs //= 2
+    xb = x.reshape(n // bs, bs, d)
+
+    def assign_all(c):
+        c_ns = jnp.sum(c * c, axis=1)
+
+        def block(xx):
+            return jnp.argmax(2.0 * (xx @ c.T) - c_ns[None, :], axis=1)
+
+        return jax.lax.map(block, xb).reshape(n)
 
     def step(c, _):
-        c_ns = jnp.sum(c * c, axis=1)
-        scores = 2.0 * (x @ c.T) - c_ns[None, :]
-        assign = jnp.argmax(scores, axis=1)
-        assign = jnp.where(valid, assign, k)  # park invalid rows out of range
+        assign = jnp.where(valid, assign_all(c), k)  # park invalid rows
         sums = jax.ops.segment_sum(x * ones[:, None], assign, num_segments=k + 1)[:k]
         counts = jax.ops.segment_sum(ones, assign, num_segments=k + 1)[:k]
         new_c = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), c)
         return new_c, None
 
     centroids, _ = jax.lax.scan(step, centroids, None, length=n_iters)
-    c_ns = jnp.sum(centroids * centroids, axis=1)
-    scores = 2.0 * (x @ centroids.T) - c_ns[None, :]
-    assign = jnp.argmax(scores, axis=1)
+    assign = assign_all(centroids)
     return centroids, jnp.where(valid, assign, -1)
 
 
