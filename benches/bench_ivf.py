@@ -99,8 +99,9 @@ def main():
                 qd, cent_j, c_ns, eng._blocks, eng._block_slot,
                 eng._block_ns, eng._block_inv, keep, dev.vectors,
                 metric="euclidean", k=K, n_probe=n_probe,
-                b_max=eng._b_max(B, n_probe, 4096),
-                compute_dtype=eng.compute_dtype)[0]
+                q_cap=eng._q_cap(B, n_probe, eng.n_clusters),
+                compute_dtype=eng.compute_dtype,
+                probe_approx=eng.config.probe_approx)[0]
 
         dt = timed(ivf_once)
         print(f"IVF n_probe={n_probe:3d}: {dt*1e3:.2f} ms/batch = "

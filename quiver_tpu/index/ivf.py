@@ -32,7 +32,12 @@ import numpy as np
 
 from quiver_tpu.core.store import VectorStore
 from quiver_tpu.index.exact import ExactIndex
-from quiver_tpu.ops.ivf_kernels import balance_assignment, ivf_query, train_kmeans
+from quiver_tpu.ops.ivf_kernels import (
+    balance_assignment,
+    ivf_query,
+    split_oversized,
+    train_kmeans,
+)
 from quiver_tpu.ops.scan import MASKED_DIST, negative_rerank
 from quiver_tpu.types import DistanceType
 
@@ -53,6 +58,9 @@ class IVFConfig:
     #: per-cluster row capacity factor over the mean (pad/imbalance bound)
     cmax_factor: float = 2.0
     kmeans_iters: int = 10
+    #: recall target of the per-block approx top-k reduce (None = exact
+    #: full-sort top_k; misses are absorbed by oversample + f32 rescore)
+    probe_approx: Optional[float] = 0.95
     #: below this many rows the exact scan is used (and is faster anyway)
     build_threshold: int = 8192
     #: rebuild when (inserts+deletes since build) / built_size exceeds this
@@ -122,10 +130,18 @@ class IVFIndex:
             self.store._np_vectors, valid, K, n_iters=c.kmeans_iters,
             seed=c.seed,
         )
+        # cap clusters by SPLITTING (extra local centroids), never by
+        # spilling rows to far clusters — spill caps recall (~0.95 on
+        # clustered data) because probes can't reach spilled rows
+        cmax = _pow2(int(np.ceil(c.cmax_factor * max(n_live, 1) / K)), lo=8)
+        cents, assign = split_oversized(
+            self.store._np_vectors, cents, np.asarray(assign, np.int64),
+            cmax, seed=c.seed,
+        )
         cent_j = jnp.asarray(cents)
         self._centroids = cents
         self._cent_dev = (cent_j, jnp.sum(cent_j * cent_j, axis=1))
-        self._layout_from_assign(np.asarray(assign, np.int64), K)
+        self._layout_from_assign(assign, len(cents), cmax=cmax)
 
     def _np_compute_dtype(self):
         return np.dtype(jnp.dtype(self.compute_dtype).name)
@@ -171,18 +187,21 @@ class IVFIndex:
             else:
                 self._overflow.add(int(s))
         if app_rows:
-            r = jnp.asarray(np.asarray(app_rows))
+            rows_np = np.asarray(app_rows)
+            r = jnp.asarray(rows_np)
             p = jnp.asarray(np.asarray(app_pos))
             av = np.asarray(app_vecs, np.float32)
+            resid = av - self._centroids[rows_np]  # blocks hold residuals
+            rns = np.sum(resid.astype(np.float64) ** 2, axis=1).astype(np.float32)
             ns = np.sum(av.astype(np.float64) ** 2, axis=1).astype(np.float32)
             inv = np.where(ns > 0, 1.0 / np.sqrt(np.maximum(ns, 1e-30)), 0.0)
             self._blocks = self._blocks.at[r, p].set(
-                jnp.asarray(av.astype(self._np_compute_dtype()))
+                jnp.asarray(resid.astype(self._np_compute_dtype()))
             )
             self._block_slot = self._block_slot.at[r, p].set(
                 jnp.asarray(np.asarray(app_slots, np.int32))
             )
-            self._block_ns = self._block_ns.at[r, p].set(jnp.asarray(ns))
+            self._block_ns = self._block_ns.at[r, p].set(jnp.asarray(rns))
             self._block_inv = self._block_inv.at[r, p].set(
                 jnp.asarray(inv.astype(np.float32))
             )
@@ -206,15 +225,18 @@ class IVFIndex:
         stay = known & (pos[:, 0] == new_assign)
         moved = ~stay
         if stay.any():
-            r = jnp.asarray(pos[stay, 0])
+            rows_np = pos[stay, 0]
+            r = jnp.asarray(rows_np)
             p = jnp.asarray(pos[stay, 1])
             av = vectors[stay]
+            resid = av - self._centroids[rows_np]
+            rns = np.sum(resid.astype(np.float64) ** 2, axis=1).astype(np.float32)
             ns = np.sum(av.astype(np.float64) ** 2, axis=1).astype(np.float32)
             inv = np.where(ns > 0, 1.0 / np.sqrt(np.maximum(ns, 1e-30)), 0.0)
             self._blocks = self._blocks.at[r, p].set(
-                jnp.asarray(av.astype(self._np_compute_dtype()))
+                jnp.asarray(resid.astype(self._np_compute_dtype()))
             )
-            self._block_ns = self._block_ns.at[r, p].set(jnp.asarray(ns))
+            self._block_ns = self._block_ns.at[r, p].set(jnp.asarray(rns))
             self._block_inv = self._block_inv.at[r, p].set(
                 jnp.asarray(inv.astype(np.float32))
             )
@@ -248,9 +270,12 @@ class IVFIndex:
 
     # ---------------------------------------------------------------- query
 
-    def _b_max(self, B: int, P: int, K: int) -> int:
-        # expected pairs per cluster = B*P/K; 4x headroom absorbs skew
-        return _pow2(max(8, int(np.ceil(4 * B * P / K))), lo=8, hi=1024)
+    def _q_cap(self, B: int, P: int, K: int) -> int:
+        # expected pairs per cluster = B*P/K; 8x headroom absorbs skew
+        # (beyond the cap, overflow pairs drop — ivf_query docstring)
+        return _pow2(
+            max(8, int(np.ceil(8 * B * P / K))), lo=8, hi=min(1024, _pow2(B))
+        )
 
     def search_slots(
         self,
@@ -295,8 +320,9 @@ class IVFIndex:
             self._blocks, self._block_slot, self._block_ns, self._block_inv,
             keep, dev.vectors,
             metric=self._metric(), k=retrieve_k, n_probe=P,
-            b_max=self._b_max(Bp, P, K),
+            q_cap=self._q_cap(Bp, P, K),
             compute_dtype=self.compute_dtype,
+            probe_approx=self.config.probe_approx,
         )
         dist = np.array(dist[:B0])  # writable copies: merge paths edit rows
         idx = np.array(idx[:B0])
@@ -404,6 +430,7 @@ class IVFIndex:
             "kind": np.bytes_(b"ivf"),
             "centroids": self._centroids.copy(),
             "assign": assign,
+            "cmax": np.int64(self._block_slot.shape[1]),
         }
 
     def import_topology(self, data: dict, slot_remap: np.ndarray) -> None:
@@ -431,16 +458,22 @@ class IVFIndex:
         # deterministic block layout from (centroids, assignment)
         self._centroids = cents
         self._cent_dev = (cent_j, c_ns)
-        self._layout_from_assign(assign, K)
+        cmax = data.get("cmax")
+        self._layout_from_assign(
+            assign, K, cmax=None if cmax is None else int(cmax)
+        )
 
-    def _layout_from_assign(self, assign: np.ndarray, K: int) -> None:
+    def _layout_from_assign(
+        self, assign: np.ndarray, K: int, cmax: Optional[int] = None
+    ) -> None:
         c = self.config
         vectors = self.store._np_vectors
         n_live = int((assign >= 0).sum())
         if n_live == 0:
             self._built = False
             return
-        cmax = _pow2(int(np.ceil(c.cmax_factor * max(n_live, 1) / K)), lo=8)
+        if cmax is None:  # pre-split sidecars: derive from K (may spill)
+            cmax = _pow2(int(np.ceil(c.cmax_factor * max(n_live, 1) / K)), lo=8)
         counts = np.bincount(assign[assign >= 0], minlength=K)
         if counts.max(initial=0) > cmax:
             cent_j, c_ns = self._cent_dev
@@ -459,17 +492,23 @@ class IVFIndex:
         fill = np.bincount(sorted_c, minlength=K).astype(np.int64)
         first = np.concatenate([[0], np.cumsum(fill)[:-1]])
         pos_in = np.arange(len(order)) - first[sorted_c]
-        blocks[sorted_c, pos_in] = vectors[order]
+        # blocks hold RESIDUALS v - c_k: the bf16 probe matmul then only
+        # carries cluster-radius magnitudes; the f32 per-(query, cluster)
+        # constants restore exactness (ops/ivf_kernels.ivf_query docstring)
+        placed = vectors[order]
+        blocks[sorted_c, pos_in] = placed - self._centroids[sorted_c]
         block_slot[sorted_c, pos_in] = order
         slot_pos[order, 0] = sorted_c
         slot_pos[order, 1] = pos_in
-        ns = np.sum(blocks.astype(np.float64) ** 2, axis=2).astype(np.float32)
-        inv = np.where(ns > 0, 1.0 / np.sqrt(np.maximum(ns, 1e-30)), 0.0).astype(
-            np.float32
-        )
+        rns = np.sum(blocks.astype(np.float64) ** 2, axis=2).astype(np.float32)
+        full_ns = np.zeros((K, cmax), np.float64)
+        full_ns[sorted_c, pos_in] = np.sum(placed.astype(np.float64) ** 2, axis=1)
+        inv = np.where(
+            full_ns > 0, 1.0 / np.sqrt(np.maximum(full_ns, 1e-30)), 0.0
+        ).astype(np.float32)
         self._blocks = jnp.asarray(blocks.astype(self._np_compute_dtype()))
         self._block_slot = jnp.asarray(block_slot)
-        self._block_ns = jnp.asarray(ns)
+        self._block_ns = jnp.asarray(rns)
         self._block_inv = jnp.asarray(inv)
         self._fill = fill
         self._slot_pos = slot_pos

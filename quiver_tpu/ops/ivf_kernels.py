@@ -34,16 +34,6 @@ from quiver_tpu.ops.scan import MASKED_DIST, NEG_BIG
 from quiver_tpu.types import DistanceType
 
 
-def _affine_block_scores(dots, norms_sq, inv_norms, metric):
-    """Monotone larger-is-better scores from raw dot products (same affine
-    trick as ops/scan._affine_scores: drop per-query constants)."""
-    if metric == DistanceType.COSINE:
-        return dots * inv_norms
-    if metric == DistanceType.DOT_PRODUCT:
-        return dots
-    return 2.0 * dots - norms_sq  # euclidean family
-
-
 # --------------------------------------------------------------------- train
 
 
@@ -115,6 +105,71 @@ def train_kmeans(
     return cents, assign
 
 
+def split_oversized(
+    vectors: np.ndarray,
+    cents: np.ndarray,
+    assign: np.ndarray,
+    cmax: int,
+    *,
+    seed: int = 0,
+    target_fill: float = 0.75,
+):
+    """Ensure no cluster exceeds ``cmax`` rows by SPLITTING oversized
+    clusters into extra local centroids (mini-Lloyd), instead of spilling
+    their overflow rows into distant clusters.
+
+    Spill is a recall ceiling: a spilled row lives in a block whose centroid
+    is far from the row, so the probes that should find it never scan it
+    (measured: ~0.95 recall saturation on clustered corpora regardless of
+    n_probe). Split centroids stay ON the data they cover, so a query that
+    would have probed the fat cluster probes its fragments instead.
+
+    Returns ``(cents, assign)`` with possibly more centroids; host-side,
+    runs once per (re)build.
+    """
+    rng = np.random.default_rng(seed)
+    assign = assign.copy()
+    cents = list(np.asarray(cents, np.float32))
+    counts = np.bincount(assign[assign >= 0], minlength=len(cents))
+    queue = [c for c in np.flatnonzero(counts > cmax)]
+    while queue:
+        c = queue.pop()
+        rows = np.flatnonzero(assign == c)
+        m = len(rows)
+        if m <= cmax:
+            continue
+        x = vectors[rows].astype(np.float32)
+        parts = max(2, int(np.ceil(m / (target_fill * cmax))))
+        seeds = x[rng.choice(m, size=parts, replace=False)].copy()
+        xns = np.sum(x * x, axis=1)
+        a = np.zeros(m, np.int64)
+        for _ in range(8):
+            d = xns[:, None] - 2.0 * (x @ seeds.T)  # + const per part
+            d += np.sum(seeds * seeds, axis=1)[None, :]
+            a = d.argmin(axis=1)
+            for j in range(parts):
+                sel = a == j
+                if sel.any():
+                    seeds[j] = x[sel].mean(axis=0)
+        part_counts = np.bincount(a, minlength=parts)
+        if part_counts.max() > cmax and part_counts.max() >= m:
+            # degenerate (e.g. identical rows): force an even split — the
+            # fragments share one location, so probe ranking is unaffected
+            a = np.arange(m) % parts
+            for j in range(parts):
+                seeds[j] = x[a == j].mean(axis=0)
+        # part 0 keeps the label; the rest become new centroids
+        labels = [c] + [len(cents) + i for i in range(parts - 1)]
+        cents[c] = seeds[0]
+        cents.extend(seeds[1:])
+        for j in range(1, parts):
+            assign[rows[a == j]] = labels[j]
+        for j in range(parts):
+            if np.count_nonzero(a == j) > cmax:
+                queue.append(labels[j])
+    return np.asarray(cents, np.float32), assign
+
+
 def balance_assignment(
     assign: np.ndarray,
     scores_fn,
@@ -157,62 +212,85 @@ def balance_assignment(
 @partial(
     jax.jit,
     static_argnames=(
-        "metric", "k", "n_probe", "b_max", "compute_dtype", "oversample",
+        "metric", "k", "n_probe", "q_cap", "compute_dtype", "oversample",
+        "probe_approx",
     ),
 )
 def ivf_query(
     q: jax.Array,  # f32[B, d]
     centroids: jax.Array,  # f32[K, d]
     cent_norms_sq: jax.Array,  # f32[K]
-    blocks: jax.Array,  # [K, Cmax, d] cluster-blocked corpus (compute dtype)
+    blocks: jax.Array,  # [K, Cmax, d] RESIDUALS v - c_k (compute dtype)
     block_slot: jax.Array,  # i32[K, Cmax] global store slot (-1 pad)
-    block_norms_sq: jax.Array,  # f32[K, Cmax]
-    block_inv_norms: jax.Array,  # f32[K, Cmax]
+    block_rns: jax.Array,  # f32[K, Cmax] residual norms |v - c_k|^2
+    block_inv_norms: jax.Array,  # f32[K, Cmax] 1/|v| (full vector)
     slot_keep: jax.Array,  # bool[cap] valid & facet mask by global slot
     store_vectors: jax.Array,  # f32[cap, d] for the exact rescore
     *,
     metric: str,
     k: int,
     n_probe: int,
-    b_max: int,
+    q_cap: int,
     compute_dtype=jnp.bfloat16,
     oversample: int = 3,
+    probe_approx: float | None = 0.95,
 ):
     """Pruned batched search. Returns (dist f32[B, k], slot i32[B, k]) with
     exact f32 distances, -1 for empty.
 
-    ``oversample``: survivors kept through the low-precision ranking stage,
-    as a multiple of k. bf16 affine scores carry ~|q||v|*2^-8 absolute
-    noise — comparable to true in-cluster distance gaps — so the bf16
-    stage must over-retrieve and let the exact f32 rescore restore the
-    order (measured: 0.91 -> 1.0 recall@10 on clustered data)."""
+    Two design decisions carry the engine (profiled on TPU v5e at
+    B=2048, K=4096, Cmax=512 — benches/profile_ivf.py):
+
+    * **No block gather.** Queries are grouped per cluster into
+      ``qlist[K, q_cap]`` and the probe matmul is one batched einsum
+      against the RESIDENT block tensor — blocks stream linearly from HBM.
+      (The alternative — gathering ``blocks[cluster_of_group]`` — cost
+      6.9 ms alone, more than the whole budget.) A cluster probed by more
+      than ``q_cap`` queries drops the overflow pairs; q_cap auto-sizes to
+      ~8x the mean load, so only near-duplicate query floods hit the cap,
+      and those queries converge on the same clusters/results anyway.
+
+    * **Residual encoding.** Blocks hold ``v - c_k`` in bf16 and the
+      per-(query, cluster) constants re-enter in f32 from the probe stage.
+      Raw bf16 affine scores carry ~|q||v|*2^-8 absolute noise, which
+      swamps true neighbor gaps whenever data sits away from the origin
+      (measured: recall 0.05 on an offset blob); residual magnitudes are
+      cluster radii, so the noise shrinks to ~|q-c||v-c|*2^-8 — below the
+      gaps the ranking must resolve. Exact-rescore survivors in f32 fix
+      the rest. For euclidean: |q-v|^2 = |q-c|^2 - 2(q-c)·(v-c) + |v-c|^2
+      with |q-c|^2 exact from centroid scores; for dot/cosine:
+      q·v = q·c + q·(v-c) with q·c exact.
+
+    ``oversample``: survivors kept through the low-precision ranking
+    stage, as a multiple of k."""
     metric = DistanceType.parse(metric)
     B, d = q.shape
     K, Cmax, _ = blocks.shape
     P = min(n_probe, K)
 
-    # ---- 1. probe selection: affine centroid scores, top-P per query
-    c_dots = q @ centroids.T
+    # ---- 1. probe selection: exact f32 affine centroid scores, top-P
+    q_ns = jnp.sum(q * q, axis=1)  # f32[B]
+    c_dots = q @ centroids.T  # f32[B, K]
+    c_aff = 2.0 * c_dots - cent_norms_sq[None, :]  # -|q-c|^2 + |q|^2
     if metric == DistanceType.COSINE:
         c_scores = c_dots * jax.lax.rsqrt(
             jnp.maximum(cent_norms_sq, 1e-30)
         )[None, :]
     elif metric == DistanceType.DOT_PRODUCT:
         c_scores = c_dots
-    else:  # euclidean family
-        c_scores = 2.0 * c_dots - cent_norms_sq[None, :]
+    else:  # euclidean family probes by true centroid distance
+        c_scores = c_aff
     _, probe = jax.lax.top_k(c_scores, P)  # i32[B, P]
 
-    # ---- 2. group (query, probe) pairs by cluster with static shapes.
-    # A cluster probed by more than b_max queries splits into several
-    # GROUPS of b_max (its block is re-gathered per group), so no pair is
-    # ever dropped — correlated query batches hammer the same few clusters
-    # and a capped per-cluster rank budget would silently cap recall.
+    # ---- 2. invert (query, probe) pairs into per-cluster query lists with
+    # static shapes: sort pairs by cluster, rank within cluster, scatter
+    # into qlist[K, q_cap] (rank >= q_cap drops — see docstring).
     BP = B * P
     flat_c = probe.reshape(BP)
     order = jnp.argsort(flat_c)
     sorted_c = flat_c[order]
     b_of = (order // P).astype(jnp.int32)
+    p_of = (order % P).astype(jnp.int32)
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_c[1:] != sorted_c[:-1]]
     )
@@ -221,47 +299,72 @@ def ivf_query(
         jnp.maximum, jnp.where(is_start, pos, 0)
     )
     rank = pos - start_pos  # rank of the pair within its cluster
-    col = rank % b_max
-    group_id = jnp.cumsum((col == 0).astype(jnp.int32)) - 1
-    # every group is one cluster; ≤ min(K,BP) cluster-starts + BP/b_max splits
-    G = min(K, BP) + BP // b_max
+    in_cap = rank < q_cap
+    col = jnp.where(in_cap, rank, q_cap)  # q_cap = out of bounds -> drop
+    qlist = (
+        jnp.full((K, q_cap), -1, jnp.int32)
+        .at[sorted_c, col]
+        .set(b_of, mode="drop")
+    )
 
-    qlist = jnp.full((G, b_max), -1, jnp.int32).at[group_id, col].set(b_of)
-    gcluster = jnp.zeros((G,), jnp.int32).at[group_id].set(sorted_c)
-
-    # ---- 3. per-group block matmul against its probing queries
-    qg = q[jnp.maximum(qlist, 0)].astype(compute_dtype)  # [G, b_max, d]
-    blk_g = blocks[gcluster]  # [G, Cmax, d] (hot blocks replicate)
-    slot_g = block_slot[gcluster]  # [G, Cmax]
+    # ---- 3. batched per-cluster matmul against the RESIDENT blocks
+    have_q = qlist >= 0
+    qsel = jnp.maximum(qlist, 0)
+    qf = q[qsel]  # f32[K, q_cap, d]
+    if metric in (DistanceType.EUCLIDEAN, DistanceType.SQUARED_EUCLIDEAN):
+        qf = qf - centroids[:, None, :]  # query residual vs this cluster
     dots = jnp.einsum(
-        "gbd,gcd->gbc", qg, blk_g.astype(compute_dtype),
+        "kbd,kcd->kbc",
+        qf.astype(compute_dtype),
+        blocks.astype(compute_dtype),
         preferred_element_type=jnp.float32,
-    )
-    scores = _affine_block_scores(
-        dots,
-        block_norms_sq[gcluster][:, None, :],
-        block_inv_norms[gcluster][:, None, :],
-        metric,
-    )
+    )  # f32[K, q_cap, Cmax]
+
+    # f32 per-(cluster, query) constants from the probe stage
+    if metric == DistanceType.COSINE:
+        cdots_sel = jnp.take_along_axis(c_dots.T, qsel, axis=1)  # [K, q_cap]
+        scores = (dots + cdots_sel[:, :, None]) * block_inv_norms[:, None, :]
+    elif metric == DistanceType.DOT_PRODUCT:
+        cdots_sel = jnp.take_along_axis(c_dots.T, qsel, axis=1)
+        scores = dots + cdots_sel[:, :, None]
+    else:
+        # -|q-v|^2 + |q|^2 = 2(q-c)·(v-c) - |v-c|^2 + (-|q-c|^2 + |q|^2)
+        caff_sel = jnp.take_along_axis(c_aff.T, qsel, axis=1)  # [K, q_cap]
+        scores = (
+            2.0 * dots - block_rns[:, None, :] + caff_sel[:, :, None]
+        )
     ok = (
-        (qlist[:, :, None] >= 0)
-        & (slot_g[:, None, :] >= 0)
-        & slot_keep[jnp.maximum(slot_g, 0)][:, None, :]
+        have_q[:, :, None]
+        & (block_slot[:, None, :] >= 0)
+        & slot_keep[jnp.maximum(block_slot, 0)][:, None, :]
     )
     scores = jnp.where(ok, scores, NEG_BIG)
 
-    # ---- 4. per-(group, query) top-k (oversampled for the f32 rescore)
+    # ---- 4. per-(cluster, query) top-k (oversampled for the f32 rescore).
+    # lax.top_k lowers to a FULL variadic sort on TPU — at this shape the
+    # sort dominates the whole query (profiled 20 ms vs 2.7 ms);
+    # approx_max_k is the TPU-native partial reduce. Misses here are soft:
+    # the oversampled survivor set + exact f32 rescore absorb them.
     kk = min(k * oversample, Cmax)
-    top_s, top_c = jax.lax.top_k(scores, kk)  # [G, b_max, kk]
+    if probe_approx is not None and 2 * kk <= Cmax:
+        top_s, top_c = jax.lax.approx_max_k(
+            scores, kk, recall_target=probe_approx
+        )
+    else:
+        top_s, top_c = jax.lax.top_k(scores, kk)  # [K, q_cap, kk]
     top_slot = jnp.take_along_axis(
-        jnp.broadcast_to(slot_g[:, None, :], scores.shape), top_c, axis=2
+        jnp.broadcast_to(block_slot[:, None, :], scores.shape), top_c, axis=2
     )
 
     # ---- 5. scatter candidates back to their queries and merge
-    pair_s = top_s[group_id, col]  # [BP, kk]
-    pair_slot = top_slot[group_id, col]
-    cand_s = jnp.zeros((B, P, kk), jnp.float32).at[b_of, order % P].set(pair_s)
-    cand_slot = jnp.full((B, P, kk), -1, jnp.int32).at[b_of, order % P].set(pair_slot)
+    pair_s = jnp.where(
+        in_cap[:, None], top_s[sorted_c, col % q_cap], NEG_BIG
+    )  # [BP, kk]
+    pair_slot = jnp.where(
+        in_cap[:, None], top_slot[sorted_c, col % q_cap], -1
+    )
+    cand_s = jnp.full((B, P, kk), NEG_BIG, jnp.float32).at[b_of, p_of].set(pair_s)
+    cand_slot = jnp.full((B, P, kk), -1, jnp.int32).at[b_of, p_of].set(pair_slot)
     cand_s = cand_s.reshape(B, P * kk)
     cand_slot = cand_slot.reshape(B, P * kk)
     # keep an oversampled survivor set into the rescore (bf16 stage noise);

@@ -162,6 +162,43 @@ def test_ivf_rebuild_on_churn():
     assert eng._churn == 0
 
 
+def test_ivf_split_oversized_no_spill():
+    # one fat blob holds 80% of rows: without splitting, k-means cells over
+    # it overflow cmax and spill rows to far clusters (recall ceiling);
+    # splitting must keep every cluster within cmax with centroids ON the
+    # blob, so high-probe recall reaches ~1.0
+    rng = np.random.default_rng(3)
+    n = 4000
+    fat = (rng.normal(size=(1, D)) * 0 + 3.0
+           + 0.05 * rng.normal(size=(int(n * 0.8), D))).astype(np.float32)
+    rest = clustered(n - len(fat), seed=4)
+    vecs = np.concatenate([fat, rest]).astype(np.float32)
+    store = VectorStore(dim=D, metric="euclidean")
+    slots = store.add_batch([f"v{i}" for i in range(n)], vecs)
+    eng = IVFIndex(store, config=IVFConfig(
+        n_clusters=64, n_probe=48, build_threshold=256, cmax_factor=1.25))
+    eng.on_insert(slots, vecs)
+    cmax = eng._block_slot.shape[1]
+    assert (eng._fill <= cmax).all()
+    assert eng.n_clusters > 64  # fat blob forced splits
+    # pre-residual-encoding this was 0.05: bf16 affine scores on offset
+    # data swamp true neighbor gaps (ops/ivf_kernels.ivf_query docstring)
+    q = (vecs[:48] + 0.02 * rng.normal(size=(48, D))).astype(np.float32)
+    assert recall_vs_oracle(store, eng, q) >= 0.97
+
+
+def test_ivf_split_degenerate_identical_rows():
+    from quiver_tpu.ops.ivf_kernels import split_oversized
+
+    vecs = np.ones((1000, D), np.float32)
+    cents = np.ones((1, D), np.float32)
+    assign = np.zeros(1000, np.int64)
+    cents2, assign2 = split_oversized(vecs, cents, assign, cmax=128)
+    counts = np.bincount(assign2, minlength=len(cents2))
+    assert counts.max() <= 128
+    assert (assign2 >= 0).all()
+
+
 def test_ivf_small_corpus_falls_back_exact():
     vecs = clustered(100)
     store = VectorStore(dim=D, metric="euclidean")
