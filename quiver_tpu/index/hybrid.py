@@ -85,6 +85,24 @@ class AdaptiveStrategySelector:
             return HNSW if k < 50 else EXACT
         return HNSW
 
+    def select_strategy_batch(
+        self, vector_count: int, dimension: int, k: int, n: int
+    ) -> np.ndarray:
+        """Per-query ε-greedy selection for a batch (reference BatchSearch
+        picks a strategy per query, hybrid_index.go:702-795): every query
+        draws its own exploration coin; non-explorers share the learned
+        exploit choice. Returns an object array of strategy names."""
+        c = self.config
+        if vector_count < self.exact_threshold:
+            base = EXACT
+        elif dimension > self.dim_threshold:
+            base = HNSW if k < 50 else EXACT
+        else:
+            base = HNSW
+        explore = self._rng.random(n) < c.exploration_factor
+        flip = self._rng.random(n) < 0.5
+        return np.where(explore, np.where(flip, EXACT, HNSW), base)
+
     def record_query_metrics(self, m: QueryMetric) -> None:
         """(reference RecordQueryMetrics + adaptThresholds,
         adaptive.go:75-174)."""
@@ -269,6 +287,21 @@ class HybridIndex:
         if strategy is None:
             if exact or mask is not None:
                 strategy = EXACT
+            elif q.shape[0] > 1:
+                # per-query strategy within the batch (reference
+                # hybrid_index.go:702-795): exploration draws can send a
+                # subset of the batch to the other engine
+                per_q = self.selector.select_strategy_batch(
+                    self.store.size, self.store.dim, k, q.shape[0]
+                )
+                uniq = set(per_q.tolist())
+                if len(uniq) == 1:
+                    strategy = per_q[0]
+                else:
+                    return self._search_mixed(
+                        q, per_q, k, mask=mask, negative=negative,
+                        negative_weight=negative_weight,
+                    )
             else:
                 strategy = self.selector.select_strategy(
                     self.store.size, self.store.dim, k
@@ -292,6 +325,40 @@ class HybridIndex:
             )
         )
         return dist, slots
+
+    def _search_mixed(self, q, per_q, k, **kw):
+        """Run each strategy's sub-batch through its engine and stitch the
+        rows back in request order; per-query metrics feed the selector the
+        same way the per-goroutine path feeds the reference's."""
+        out_d = out_s = None
+        for strat in (EXACT, HNSW):
+            idx = np.flatnonzero(per_q == strat)
+            if not len(idx):
+                continue
+            if strat == HNSW:
+                self._ensure_graph(force=True)
+            engine = self.exact if strat == EXACT else self.hnsw
+            t0 = time.perf_counter()
+            d, s = engine.search_slots(q[idx], k, **kw)
+            ms = (time.perf_counter() - t0) * 1e3
+            if out_d is None:
+                out_d = np.empty((q.shape[0], d.shape[1]), d.dtype)
+                out_s = np.empty((q.shape[0], s.shape[1]), s.dtype)
+            out_d[idx] = d
+            out_s[idx] = s
+            self.last_strategy = strat
+            self._per_strategy_counts[strat] += len(idx)
+            per_ms = ms / max(len(idx), 1)
+            for row in range(len(idx)):
+                self.selector.record_query_metrics(
+                    QueryMetric(
+                        strategy=strat,
+                        latency_ms=per_ms,
+                        result_count=int((s[row] >= 0).sum()),
+                        corpus_size=self.store.size,
+                    )
+                )
+        return out_d, out_s
 
     def get_optimization_parameters(self) -> dict:
         return self.hnsw.get_optimization_parameters()

@@ -83,6 +83,31 @@ def build_hybrid(n=300, **kw):
     return store, idx, vecs
 
 
+def test_batch_mixed_per_query_strategies():
+    # full exploration: every query draws its own engine (reference
+    # BatchSearch picks per query, hybrid_index.go:702-795); the stitched
+    # batch must still return each query's own nearest row
+    store, idx, vecs = build_hybrid(
+        n=400,
+        adaptive_config=AdaptiveConfig(exploration_factor=1.0, seed=3),
+    )
+    d, slots = idx.search_slots(vecs[:64], k=3)
+    assert (slots[:, 0] == np.arange(64)).mean() >= 0.95
+    counts = idx._per_strategy_counts
+    assert counts[EXACT] > 0 and counts[HNSW] > 0  # both engines exercised
+    assert counts[EXACT] + counts[HNSW] == 64
+    # selector window got per-query metrics, not one per batch
+    assert len(idx.selector._window) == 64
+
+
+def test_batch_uniform_when_not_exploring():
+    store, idx, vecs = build_hybrid(
+        n=200, adaptive_config=no_explore(initial_exact_threshold=1000)
+    )
+    d, slots = idx.search_slots(vecs[:16], k=2)
+    assert idx._per_strategy_counts[HNSW] == 0  # one engine, one kernel
+
+
 def test_hybrid_small_routes_exact():
     store, idx, vecs = build_hybrid(
         n=200, adaptive_config=no_explore(initial_exact_threshold=1000)
