@@ -92,16 +92,16 @@ def main():
 
         def ivf_once():
             dev = store.device_view()
-            keep = dev.valid
             cent_j, c_ns = eng._cent_dev
             from quiver_tpu.ops.ivf_kernels import ivf_query
             return ivf_query(
                 qd, cent_j, c_ns, eng._blocks, eng._block_slot,
-                eng._block_ns, eng._block_inv, keep, dev.vectors,
+                eng._block_ns, eng._block_inv, eng._keep_dev(), dev.vectors,
                 metric="euclidean", k=K, n_probe=n_probe,
                 q_cap=eng._q_cap(B, n_probe, eng.n_clusters),
                 compute_dtype=eng.compute_dtype,
-                probe_approx=eng.config.probe_approx)[0]
+                probe_approx=eng.config.probe_approx,
+                probe_sel_approx=eng.config.probe_sel_approx)[0]
 
         dt = timed(ivf_once)
         print(f"IVF n_probe={n_probe:3d}: {dt*1e3:.2f} ms/batch = "

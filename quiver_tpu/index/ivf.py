@@ -49,6 +49,13 @@ def _pow2(n: int, lo: int = 8, hi: int = 1 << 30) -> int:
     return c
 
 
+@jax.jit
+def _mask_block_keep(block_keep, block_slot, slot_mask):
+    """Fold a slot-addressed facet mask into block space (filtered queries
+    only — the unfiltered path reads the maintained block_keep directly)."""
+    return block_keep & slot_mask[jnp.maximum(block_slot, 0)]
+
+
 @dataclass
 class IVFConfig:
     #: clusters; None = auto (pow2 nearest 4*sqrt(N) at build time)
@@ -58,9 +65,12 @@ class IVFConfig:
     #: per-cluster row capacity factor over the mean (pad/imbalance bound)
     cmax_factor: float = 2.0
     kmeans_iters: int = 10
-    #: recall target of the per-block approx top-k reduce (None = exact
-    #: full-sort top_k; misses are absorbed by oversample + f32 rescore)
+    #: recall target of the per-query candidate approx top-k reduce (None =
+    #: exact full-sort top_k; misses are absorbed by oversample + rescore)
     probe_approx: Optional[float] = 0.95
+    #: recall target for the top-P probe selection itself (None = exact;
+    #: the [B, K] full sort costs ~4.4 ms at B=2048, K=4096)
+    probe_sel_approx: Optional[float] = None
     #: below this many rows the exact scan is used (and is faster anyway)
     build_threshold: int = 8192
     #: rebuild when (inserts+deletes since build) / built_size exceeds this
@@ -88,10 +98,12 @@ class IVFIndex:
         self._built = False
         self._centroids = None  # np f32[K, d]
         self._cent_dev = None  # (centroids, cent_norms_sq) device
-        self._blocks = None  # device [K, Cmax, d] compute dtype
+        self._blocks = None  # device [K, Cmax, d] residuals, compute dtype
         self._block_slot = None  # device i32[K, Cmax]
-        self._block_ns = None  # device f32[K, Cmax]
-        self._block_inv = None  # device f32[K, Cmax]
+        self._block_ns = None  # device f32[K, Cmax] residual norms
+        self._block_inv = None  # device f32[K, Cmax] 1/|v| full-vector
+        self._block_keep = None  # device bool[K, Cmax] occupied & live
+        self._keep_pending: list[tuple[int, int, bool]] = []  # lazy scatters
         self._fill = None  # np i64[K]
         self._slot_pos = None  # np i64[cap, 2] slot -> (cluster, pos), -1
         self._overflow: set[int] = set()
@@ -186,6 +198,8 @@ class IVFIndex:
                 self._slot_pos[s] = (a, p)
             else:
                 self._overflow.add(int(s))
+        for a, p in zip(app_rows, app_pos):
+            self._keep_pending.append((int(a), int(p), True))
         if app_rows:
             rows_np = np.asarray(app_rows)
             r = jnp.asarray(rows_np)
@@ -247,6 +261,8 @@ class IVFIndex:
                 self._block_slot = self._block_slot.at[
                     jnp.asarray(old[:, 0]), jnp.asarray(old[:, 1])
                 ].set(-1)
+                for r_, p_ in old:
+                    self._keep_pending.append((int(r_), int(p_), False))
             self._slot_pos[slots[moved]] = -1
             self._overflow.difference_update(int(s) for s in slots[moved])
             self.on_insert(slots[moved], vectors[moved])
@@ -254,11 +270,35 @@ class IVFIndex:
         self._maybe_rebuild()
 
     def on_delete(self, slots: np.ndarray) -> None:
-        # validity is a query-time mask; just account churn + drop overflow
+        # mark the block positions dead and forget them — the store may
+        # reuse the slot for a fresh vector, and a slot-addressed validity
+        # mask would then resurrect the STALE block entry (old vector,
+        # duplicate slot in results)
         slots = np.asarray(slots, np.int64)
+        if self._built:
+            pos = self._slot_pos[slots]
+            for (r, p), s in zip(pos, slots):
+                if r >= 0:
+                    self._keep_pending.append((int(r), int(p), False))
+            self._slot_pos[slots] = -1
         self._overflow.difference_update(int(s) for s in slots)
         self._churn += len(slots)
         self._maybe_rebuild()
+
+    def _keep_dev(self):
+        """Apply pending keep-bit scatters (one dispatch per query batch at
+        most — write paths only queue host-side tuples)."""
+        if self._keep_pending:
+            # last write wins per position (scatter order with duplicate
+            # indices is undefined; insert-then-delete of one slot in the
+            # same window would race otherwise)
+            last = {(r, c): v for r, c, v in self._keep_pending}
+            rows = jnp.asarray(np.asarray([rc[0] for rc in last], np.int32))
+            cols = jnp.asarray(np.asarray([rc[1] for rc in last], np.int32))
+            vals = jnp.asarray(np.asarray(list(last.values()), bool))
+            self._block_keep = self._block_keep.at[rows, cols].set(vals)
+            self._keep_pending = []
+        return self._block_keep
 
     def _grow_maps(self) -> None:
         cap = self.store.capacity
@@ -303,9 +343,14 @@ class IVFIndex:
                 negative_weight=negative_weight,
             )
         dev = self.store.device_view()
-        keep = dev.valid
+        block_keep = self._keep_dev()
         if mask is not None:
-            keep = keep & jnp.asarray(np.asarray(mask, bool))
+            # fold the facet mask into block space (one fused gather; the
+            # unfiltered path never pays a slot-addressed gather)
+            block_keep = _mask_block_keep(
+                block_keep, self._block_slot,
+                jnp.asarray(np.asarray(mask, bool)),
+            )
         # pad batch to pow2 (stable compiled shapes)
         B0 = q.shape[0]
         Bp = _pow2(B0, lo=8)
@@ -318,17 +363,21 @@ class IVFIndex:
         dist, idx = ivf_query(
             jnp.asarray(q), cent_j, c_ns,
             self._blocks, self._block_slot, self._block_ns, self._block_inv,
-            keep, dev.vectors,
+            block_keep, dev.vectors,
             metric=self._metric(), k=retrieve_k, n_probe=P,
             q_cap=self._q_cap(Bp, P, K),
             compute_dtype=self.compute_dtype,
             probe_approx=self.config.probe_approx,
+            probe_sel_approx=self.config.probe_sel_approx,
         )
         dist = np.array(dist[:B0])  # writable copies: merge paths edit rows
         idx = np.array(idx[:B0])
         if self._overflow:
+            slot_keep = self.store._np_valid.copy()
+            if mask is not None:
+                slot_keep &= np.asarray(mask, bool)
             dist, idx = self._merge_overflow(
-                q[:B0], dist, idx, keep, retrieve_k
+                q[:B0], dist, idx, slot_keep, retrieve_k
             )
         if negative is not None:
             neg = np.asarray(negative, np.float32)
@@ -510,6 +559,8 @@ class IVFIndex:
         self._block_slot = jnp.asarray(block_slot)
         self._block_ns = jnp.asarray(rns)
         self._block_inv = jnp.asarray(inv)
+        self._block_keep = jnp.asarray(block_slot >= 0)
+        self._keep_pending = []
         self._fill = fill
         self._slot_pos = slot_pos
         self._overflow = set()

@@ -224,7 +224,7 @@ def ivf_query(
     block_slot: jax.Array,  # i32[K, Cmax] global store slot (-1 pad)
     block_rns: jax.Array,  # f32[K, Cmax] residual norms |v - c_k|^2
     block_inv_norms: jax.Array,  # f32[K, Cmax] 1/|v| (full vector)
-    slot_keep: jax.Array,  # bool[cap] valid & facet mask by global slot
+    block_keep: jax.Array,  # bool[K, Cmax] occupied & live & facet mask
     store_vectors: jax.Array,  # f32[cap, d] for the exact rescore
     *,
     metric: str,
@@ -234,6 +234,7 @@ def ivf_query(
     compute_dtype=jnp.bfloat16,
     oversample: int = 3,
     probe_approx: float | None = 0.95,
+    probe_sel_approx: float | None = None,
 ):
     """Pruned batched search. Returns (dist f32[B, k], slot i32[B, k]) with
     exact f32 distances, -1 for empty.
@@ -261,15 +262,26 @@ def ivf_query(
       with |q-c|^2 exact from centroid scores; for dot/cosine:
       q·v = q·c + q·(v-c) with q·c exact.
 
+    * **One reduce per query.** Candidate scores flow back to queries as
+      one [BP, Cmax] row gather + a single ``approx_max_k`` over
+      [B, P*Cmax]; reducing per (cluster, query) first cost 13 ms in the
+      3D approx + 3 broadcast gathers (benches/profile_ivf3.py bisect).
+      Validity/facet masking is the caller's precomputed ``block_keep``
+      — gathering a slot-addressed mask in-kernel cost ~18 ms
+      (2M random single-byte loads).
+
     ``oversample``: survivors kept through the low-precision ranking
-    stage, as a multiple of k."""
+    stage, as a multiple of k. ``probe_approx``: recall target of that
+    per-query partial reduce (None = exact sort). ``probe_sel_approx``:
+    recall target for the top-P probe selection itself (None = exact;
+    approximate probe selection trades a little recall for the [B, K]
+    full sort, profiled 4.4 ms at B=2048, K=4096)."""
     metric = DistanceType.parse(metric)
     B, d = q.shape
     K, Cmax, _ = blocks.shape
     P = min(n_probe, K)
 
-    # ---- 1. probe selection: exact f32 affine centroid scores, top-P
-    q_ns = jnp.sum(q * q, axis=1)  # f32[B]
+    # ---- 1. probe selection: f32 affine centroid scores, top-P
     c_dots = q @ centroids.T  # f32[B, K]
     c_aff = 2.0 * c_dots - cent_norms_sq[None, :]  # -|q-c|^2 + |q|^2
     if metric == DistanceType.COSINE:
@@ -280,7 +292,13 @@ def ivf_query(
         c_scores = c_dots
     else:  # euclidean family probes by true centroid distance
         c_scores = c_aff
-    _, probe = jax.lax.top_k(c_scores, P)  # i32[B, P]
+    if probe_sel_approx is not None and 2 * P <= K:
+        _, probe = jax.lax.approx_max_k(
+            c_scores, P, recall_target=probe_sel_approx
+        )
+        probe = probe.astype(jnp.int32)
+    else:
+        _, probe = jax.lax.top_k(c_scores, P)  # i32[B, P]
 
     # ---- 2. invert (query, probe) pairs into per-cluster query lists with
     # static shapes: sort pairs by cluster, rank within cluster, scatter
@@ -290,7 +308,6 @@ def ivf_query(
     order = jnp.argsort(flat_c)
     sorted_c = flat_c[order]
     b_of = (order // P).astype(jnp.int32)
-    p_of = (order % P).astype(jnp.int32)
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_c[1:] != sorted_c[:-1]]
     )
@@ -333,45 +350,32 @@ def ivf_query(
         scores = (
             2.0 * dots - block_rns[:, None, :] + caff_sel[:, :, None]
         )
-    ok = (
-        have_q[:, :, None]
-        & (block_slot[:, None, :] >= 0)
-        & slot_keep[jnp.maximum(block_slot, 0)][:, None, :]
+    scores = jnp.where(
+        block_keep[:, None, :] & have_q[:, :, None], scores, NEG_BIG
     )
-    scores = jnp.where(ok, scores, NEG_BIG)
 
-    # ---- 4. per-(cluster, query) top-k (oversampled for the f32 rescore).
-    # lax.top_k lowers to a FULL variadic sort on TPU — at this shape the
-    # sort dominates the whole query (profiled 20 ms vs 2.7 ms);
-    # approx_max_k is the TPU-native partial reduce. Misses here are soft:
-    # the oversampled survivor set + exact f32 rescore absorb them.
-    kk = min(k * oversample, Cmax)
-    if probe_approx is not None and 2 * kk <= Cmax:
-        top_s, top_c = jax.lax.approx_max_k(
-            scores, kk, recall_target=probe_approx
+    # ---- 4. per-pair score rows back to their queries: pair i (query
+    # b_of, probe p_of) reads its row at scores[flat_c[i], rank-in-orig-
+    # order]; dropped pairs (rank >= q_cap) mask out. One gather — no
+    # 3D reduce, no scatter.
+    inv = jnp.argsort(order)  # original pair -> sorted position
+    col_orig = jnp.minimum(col, q_cap - 1)[inv]  # [BP]
+    in_cap_orig = in_cap[inv]
+    cand_s = jnp.where(
+        in_cap_orig[:, None], scores[flat_c, col_orig], NEG_BIG
+    ).reshape(B, P * Cmax)
+    cand_slot = block_slot[flat_c].reshape(B, P * Cmax)
+
+    # ---- 5. ONE oversampled partial top-k per query feeds the rescore
+    # (bf16 stage noise); a slot appears at most once per query — its
+    # cluster block is unique and probes are distinct.
+    n_sur = min(k * oversample, P * Cmax)
+    if probe_approx is not None and 2 * n_sur <= P * Cmax:
+        best_s, sel = jax.lax.approx_max_k(
+            cand_s, n_sur, recall_target=probe_approx
         )
     else:
-        top_s, top_c = jax.lax.top_k(scores, kk)  # [K, q_cap, kk]
-    top_slot = jnp.take_along_axis(
-        jnp.broadcast_to(block_slot[:, None, :], scores.shape), top_c, axis=2
-    )
-
-    # ---- 5. scatter candidates back to their queries and merge
-    pair_s = jnp.where(
-        in_cap[:, None], top_s[sorted_c, col % q_cap], NEG_BIG
-    )  # [BP, kk]
-    pair_slot = jnp.where(
-        in_cap[:, None], top_slot[sorted_c, col % q_cap], -1
-    )
-    cand_s = jnp.full((B, P, kk), NEG_BIG, jnp.float32).at[b_of, p_of].set(pair_s)
-    cand_slot = jnp.full((B, P, kk), -1, jnp.int32).at[b_of, p_of].set(pair_slot)
-    cand_s = cand_s.reshape(B, P * kk)
-    cand_slot = cand_slot.reshape(B, P * kk)
-    # keep an oversampled survivor set into the rescore (bf16 stage noise);
-    # a slot can appear once per probe pair at most once — pairs partition
-    # the clusters, and a slot lives in exactly one cluster block
-    n_sur = min(k * oversample, P * kk)
-    best_s, sel = jax.lax.top_k(cand_s, n_sur)
+        best_s, sel = jax.lax.top_k(cand_s, n_sur)
     best_slot = jnp.take_along_axis(cand_slot, sel, axis=1)
     best_slot = jnp.where(best_s > NEG_BIG, best_slot, -1)
 

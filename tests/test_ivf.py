@@ -126,6 +126,27 @@ def test_ivf_overflow_spill_scanned():
     assert len(set(int(x) for x in got if x >= 0) & set(int(s) for s in slots)) > 0
 
 
+def test_ivf_slot_reuse_no_stale_entry():
+    # delete a row, let the store reuse its slot for a NEW vector: the old
+    # block entry must stay dead (a slot-addressed validity mask would
+    # resurrect it -> stale vector + duplicate slot in results)
+    store, vecs, eng = make(n=2000)
+    victim_slot = int(store.slot_of("v10"))
+    store.delete_batch(["v10"])
+    eng.on_delete(np.asarray([victim_slot]))
+    far = (vecs[500] + 8.0).astype(np.float32)  # distinct new vector
+    new_slots = store.add_batch(["fresh"], far[None, :])
+    assert int(new_slots[0]) == victim_slot  # slot actually reused
+    eng.on_insert(new_slots, far[None, :])
+    d, i = eng.search_slots(far, k=3)
+    assert int(i[0, 0]) == victim_slot and d[0, 0] < 1e-3
+    # old vector's location must NOT find the reused slot anywhere near
+    d2, i2 = eng.search_slots(vecs[10], k=10)
+    got = [int(s) for s in i2[0] if s >= 0]
+    assert len(got) == len(set(got))  # no duplicate slots
+    assert victim_slot not in got
+
+
 def test_ivf_update_in_place():
     store, vecs, eng = make(n=2000)
     far = (vecs[100] + 10.0).astype(np.float32)
