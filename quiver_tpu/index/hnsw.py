@@ -184,6 +184,10 @@ class HNSWConfig:
     #: batch members search the FROZEN graph and would otherwise be blind
     #: to each other, which degrades recall as batch/corpus ratio grows
     intra_batch_links: bool = True
+    #: visited-set structure for layer-0 beam search: "ring" (O(ef) VMEM
+    #: rolling window) or "bitmap" (true O(N) per-query bitset — the
+    #: reference VisitedList's semantics, ~cap/8 bytes x batch of HBM)
+    visited: str = "ring"
     seed: int = 42
 
 
@@ -551,17 +555,24 @@ class HNSWIndex:
             "ef_construction": c.ef_construction,
             "m": c.m,
             "m0": c.m0,
+            "visited": c.visited,
         }
 
     def set_optimization_parameters(self, **params) -> None:
-        """Only ef_search is settable post-build, like the reference
-        (adapter.go:175-190); construction parameters are immutable."""
+        """Query-time knobs (ef_search, visited) are settable post-build,
+        like the reference's EfSearch (adapter.go:175-190); construction
+        parameters are immutable."""
         if "ef_search" in params:
             ef = int(params["ef_search"])
             if ef <= 0:
                 raise ValueError("ef_search must be positive")
             self.config.ef_search = ef
-        unknown = set(params) - {"ef_search"}
+        if "visited" in params:
+            v = str(params["visited"])
+            if v not in ("ring", "bitmap"):
+                raise ValueError("visited must be 'ring' or 'bitmap'")
+            self.config.visited = v
+        unknown = set(params) - {"ef_search", "visited"}
         if unknown:
             raise ValueError(f"immutable or unknown parameters: {sorted(unknown)}")
 
@@ -696,6 +707,7 @@ class HNSWIndex:
             metric=self._metric(), ef=ef,
             max_iters=int(1.5 * ef) + 8,
             compute_dtype=self.compute_dtype,
+            visited=c.visited,
         )
         if negative is not None:
             neg_np = np.asarray(negative, np.float32)

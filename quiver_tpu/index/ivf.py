@@ -49,6 +49,16 @@ def _pow2(n: int, lo: int = 8, hi: int = 1 << 30) -> int:
     return c
 
 
+def _cmax_shape(want: float) -> int:
+    """Block width: multiple of 128 (TPU lane width) rather than a power of
+    two — pow2 rounding padded blocks up to 2x, and block HBM traffic is
+    the query's floor. Small corpora keep pow2 below 128."""
+    w = int(np.ceil(want))
+    if w >= 128:
+        return (w + 127) // 128 * 128
+    return _pow2(w, lo=8)
+
+
 @jax.jit
 def _mask_block_keep(block_keep, block_slot, slot_mask):
     """Fold a slot-addressed facet mask into block space (filtered queries
@@ -62,15 +72,27 @@ class IVFConfig:
     n_clusters: Optional[int] = None
     #: clusters probed per query — THE recall/speed knob
     n_probe: int = 32
-    #: per-cluster row capacity factor over the mean (pad/imbalance bound)
-    cmax_factor: float = 2.0
+    #: per-cluster row capacity factor over the mean. Oversized clusters
+    #: SPLIT (extra centroids), so this trades padding (block HBM traffic,
+    #: the query floor) against centroid count — keep it tight.
+    cmax_factor: float = 1.25
     kmeans_iters: int = 10
     #: recall target of the per-query candidate approx top-k reduce (None =
-    #: exact full-sort top_k; misses are absorbed by oversample + rescore)
-    probe_approx: Optional[float] = 0.95
+    #: exact full-sort top_k). This is the engine's recall ceiling for the
+    #: survivor set — a true top-k row lost here is gone for good — so it
+    #: runs tighter than the usual 0.95 (the measured ceiling at 0.95 was
+    #: recall@10 ~ 0.94 regardless of n_probe).
+    probe_approx: Optional[float] = 0.98
     #: recall target for the top-P probe selection itself (None = exact;
-    #: the [B, K] full sort costs ~4.4 ms at B=2048, K=4096)
-    probe_sel_approx: Optional[float] = None
+    #: the [B, K] full sort costs ~4.4 ms at B=2048, K=4096 — losing the
+    #: P-th-best probe occasionally costs far less recall than that)
+    probe_sel_approx: Optional[float] = 0.99
+    #: survivors through the low-precision stage, as a multiple of k
+    oversample: int = 4
+    #: per-cluster query-list capacity as a multiple of the mean load
+    #: B*P/K (pairs beyond it drop; 4x absorbs Poisson skew, and the
+    #: scores tensor traffic scales linearly with this)
+    q_cap_factor: int = 4
     #: below this many rows the exact scan is used (and is faster anyway)
     build_threshold: int = 8192
     #: rebuild when (inserts+deletes since build) / built_size exceeds this
@@ -145,7 +167,7 @@ class IVFIndex:
         # cap clusters by SPLITTING (extra local centroids), never by
         # spilling rows to far clusters — spill caps recall (~0.95 on
         # clustered data) because probes can't reach spilled rows
-        cmax = _pow2(int(np.ceil(c.cmax_factor * max(n_live, 1) / K)), lo=8)
+        cmax = _cmax_shape(c.cmax_factor * max(n_live, 1) / K)
         cents, assign = split_oversized(
             self.store._np_vectors, cents, np.asarray(assign, np.int64),
             cmax, seed=c.seed,
@@ -311,10 +333,11 @@ class IVFIndex:
     # ---------------------------------------------------------------- query
 
     def _q_cap(self, B: int, P: int, K: int) -> int:
-        # expected pairs per cluster = B*P/K; 8x headroom absorbs skew
+        # expected pairs per cluster = B*P/K, times a skew-headroom factor
         # (beyond the cap, overflow pairs drop — ivf_query docstring)
+        f = self.config.q_cap_factor
         return _pow2(
-            max(8, int(np.ceil(8 * B * P / K))), lo=8, hi=min(1024, _pow2(B))
+            max(8, int(np.ceil(f * B * P / K))), lo=8, hi=min(1024, _pow2(B))
         )
 
     def search_slots(
@@ -367,6 +390,7 @@ class IVFIndex:
             metric=self._metric(), k=retrieve_k, n_probe=P,
             q_cap=self._q_cap(Bp, P, K),
             compute_dtype=self.compute_dtype,
+            oversample=self.config.oversample,
             probe_approx=self.config.probe_approx,
             probe_sel_approx=self.config.probe_sel_approx,
         )
@@ -522,7 +546,7 @@ class IVFIndex:
             self._built = False
             return
         if cmax is None:  # pre-split sidecars: derive from K (may spill)
-            cmax = _pow2(int(np.ceil(c.cmax_factor * max(n_live, 1) / K)), lo=8)
+            cmax = _cmax_shape(c.cmax_factor * max(n_live, 1) / K)
         counts = np.bincount(assign[assign >= 0], minlength=K)
         if counts.max(initial=0) > cmax:
             cent_j, c_ns = self._cent_dev

@@ -95,7 +95,9 @@ def bitonic_sort(vals):
 
 @partial(
     jax.jit,
-    static_argnames=("metric", "ef", "max_iters", "compute_dtype", "expand"),
+    static_argnames=(
+        "metric", "ef", "max_iters", "compute_dtype", "expand", "visited",
+    ),
 )
 def beam_search(
     queries: jax.Array,  # f32[B, d]
@@ -110,6 +112,7 @@ def beam_search(
     max_iters: int,
     compute_dtype=jnp.float32,
     expand: int = 4,
+    visited: str = "ring",
 ):
     """Batched best-first beam search over one graph layer.
 
@@ -119,14 +122,25 @@ def beam_search(
     for the same total distance evaluations (a standard accelerator-ANN
     generalization of best-first search).
 
+    ``visited`` selects the visited-set structure:
+
+    * ``"ring"`` — O(ef) VMEM rolling window of recent ids (default; a node
+      evicted from both beam and ring can re-expand in pathological graphs);
+    * ``"bitmap"`` — a true O(N) per-query bitset ``u32[B, cap/32]``, the
+      exact semantics of the reference's epoch-stamped VisitedList
+      (pkg/arrowindex/graph.go:16-109) at ~cap/8 bytes per query of HBM.
+      Discovery marks the bit, so re-expansion is impossible.
+
     Returns (dist f32[B, ef], ids i32[B, ef]) sorted ascending by distance;
     empty slots have id -1 / dist MASKED_DIST. Generic over layers: pass the
     layer's adjacency + its global->row map (identity for layer 0).
     """
     metric = DistanceType.parse(metric)
     B, d = queries.shape
+    cap = vectors.shape[0]
     deg = adj.shape[1]
     block = deg * expand  # candidate block per iteration
+    use_bitmap = visited == "bitmap"
     ring_len = max(2 * ef, 128)
     # beam width padded so beam + candidate block is a power of two (the
     # merge is a bitonic network, not a sort custom call)
@@ -146,7 +160,23 @@ def beam_search(
         jnp.where(e_valid, entries, -1)
     )
     beam_exp = jnp.zeros((B, beam_len), bool)
-    ring = jnp.full((B, ring_len), -1, jnp.int32).at[:, :1].set(beam_ids[:, :1])
+    if use_bitmap:
+        words = ((cap + 31) // 32 + 127) // 128 * 128  # lane-aligned
+        e_word = jnp.maximum(beam_ids[:, 0], 0) >> 5
+        e_bit = jnp.where(
+            beam_ids[:, 0] >= 0,
+            jnp.uint32(1) << (jnp.maximum(beam_ids[:, 0], 0) & 31).astype(jnp.uint32),
+            jnp.uint32(0),
+        )
+        ring = (
+            jnp.zeros((B, words), jnp.uint32)
+            .at[jnp.arange(B), e_word]
+            .add(e_bit)
+        )
+    else:
+        ring = jnp.full((B, ring_len), -1, jnp.int32).at[:, :1].set(
+            beam_ids[:, :1]
+        )
 
     def cond(state):
         i, _bd, bi, bexp, _ring, done = state
@@ -193,20 +223,34 @@ def beam_search(
 
         ok = (nbrs >= 0) & valid[jnp.maximum(nbrs, 0)]
         # 4. dedup: drop duplicates within the block (expanded nodes share
-        # neighbors), anything already in the beam, and the recently visited
+        # neighbors), then anything already visited
         eq = nbrs[:, :, None] == nbrs[:, None, :]
         col = jax.lax.broadcasted_iota(jnp.int32, eq.shape, 2)
         row_i = jax.lax.broadcasted_iota(jnp.int32, eq.shape, 1)
         dup = jnp.any(eq & (col < row_i), axis=2)
-        in_beam = jnp.any(nbrs[:, :, None] == bi[:, None, :], axis=2)
-        in_ring = jnp.any(nbrs[:, :, None] == ring[:, None, :], axis=2)
-        ok = ok & ~dup & ~in_beam & ~in_ring
+        if use_bitmap:
+            # true visited bitset: test the bit, then set it. Discovery
+            # marks the bit, so beam membership is subsumed. The scatter
+            # uses .add, which equals OR because ~seen & ~dup guarantees
+            # each added bit is currently clear and added once.
+            w_idx = jnp.maximum(nbrs, 0) >> 5
+            bit = jnp.uint32(1) << (jnp.maximum(nbrs, 0) & 31).astype(jnp.uint32)
+            words = jnp.take_along_axis(ring, w_idx, axis=1)
+            seen = (words & bit) != 0
+            ok = ok & ~dup & ~seen
+            ring = ring.at[
+                jnp.arange(B)[:, None], w_idx
+            ].add(jnp.where(ok, bit, jnp.uint32(0)))
+        else:
+            in_beam = jnp.any(nbrs[:, :, None] == bi[:, None, :], axis=2)
+            in_ring = jnp.any(nbrs[:, :, None] == ring[:, None, :], axis=2)
+            ok = ok & ~dup & ~in_beam & ~in_ring
 
-        # 5. record in the visited ring (rolling window)
-        offset = (i * block) % ring_len
-        ring = jax.lax.dynamic_update_slice(
-            ring, jnp.where(ok, nbrs, -1), (0, offset)
-        )
+            # 5. record in the visited ring (rolling window)
+            offset = (i * block) % ring_len
+            ring = jax.lax.dynamic_update_slice(
+                ring, jnp.where(ok, nbrs, -1), (0, offset)
+            )
 
         # 6. batched distances to the gathered neighbors
         n_vecs = vectors[jnp.maximum(nbrs, 0)]  # [B, block, d]

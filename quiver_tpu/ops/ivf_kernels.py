@@ -213,7 +213,7 @@ def balance_assignment(
     jax.jit,
     static_argnames=(
         "metric", "k", "n_probe", "q_cap", "compute_dtype", "oversample",
-        "probe_approx",
+        "probe_approx", "probe_sel_approx",
     ),
 )
 def ivf_query(

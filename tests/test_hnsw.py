@@ -46,6 +46,28 @@ def test_recall_against_oracle(metric):
     assert r >= 0.9, f"recall {r} too low for {metric}"
 
 
+def test_visited_bitmap_mode():
+    # true O(N) visited bitset (reference VisitedList semantics,
+    # pkg/arrowindex/graph.go:16-109): same-or-better recall than the
+    # rolling ring, identical result contract
+    store, idx, vecs = build(n=800)
+    exact = ExactIndex(store)
+    rng = np.random.default_rng(2)
+    queries = rng.normal(size=(16, D)).astype(np.float32)
+    r_ring = recall_at_k(idx, exact, queries, k=10)
+    idx.set_optimization_parameters(visited="bitmap")
+    assert idx.get_optimization_parameters()["visited"] == "bitmap"
+    r_bitmap = recall_at_k(idx, exact, queries, k=10)
+    assert r_bitmap >= 0.9
+    assert r_bitmap >= r_ring - 0.05  # no regression vs the ring
+    d, i = idx.search_slots(vecs[:8], k=5)
+    assert (i[:, 0] == np.arange(8)).all()  # self-recall intact
+    live = d[0][i[0] >= 0]
+    assert (np.diff(live) >= -1e-6).all()
+    with pytest.raises(ValueError):
+        idx.set_optimization_parameters(visited="nope")
+
+
 def test_insert_then_search_self_recall():
     store, idx, vecs = build(n=300)
     _, slots = idx.search_slots(vecs[:50], k=1)
