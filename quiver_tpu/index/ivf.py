@@ -93,6 +93,10 @@ class IVFConfig:
     #: B*P/K (pairs beyond it drop; 4x absorbs Poisson skew, and the
     #: scores tensor traffic scales linearly with this)
     q_cap_factor: int = 4
+    #: candidate-stage formulation: "einsum" (per-cluster query lists
+    #: capped at q_cap) or "pairs" (ragged grouped matmul — no pair
+    #: drops) — ops/ivf_kernels.ivf_query docstring
+    formulation: str = "einsum"
     #: below this many rows the exact scan is used (and is faster anyway)
     build_threshold: int = 8192
     #: rebuild when (inserts+deletes since build) / built_size exceeds this
@@ -120,7 +124,7 @@ class IVFIndex:
         self._built = False
         self._centroids = None  # np f32[K, d]
         self._cent_dev = None  # (centroids, cent_norms_sq) device
-        self._blocks = None  # device [K, Cmax, d] residuals, compute dtype
+        self._blocks_t = None  # device [K, d, Cmax] residuals, compute dtype
         self._block_slot = None  # device i32[K, Cmax]
         self._block_ns = None  # device f32[K, Cmax] residual norms
         self._block_inv = None  # device f32[K, Cmax] 1/|v| full-vector
@@ -231,7 +235,7 @@ class IVFIndex:
             rns = np.sum(resid.astype(np.float64) ** 2, axis=1).astype(np.float32)
             ns = np.sum(av.astype(np.float64) ** 2, axis=1).astype(np.float32)
             inv = np.where(ns > 0, 1.0 / np.sqrt(np.maximum(ns, 1e-30)), 0.0)
-            self._blocks = self._blocks.at[r, p].set(
+            self._blocks_t = self._blocks_t.at[r, :, p].set(
                 jnp.asarray(resid.astype(self._np_compute_dtype()))
             )
             self._block_slot = self._block_slot.at[r, p].set(
@@ -269,7 +273,7 @@ class IVFIndex:
             rns = np.sum(resid.astype(np.float64) ** 2, axis=1).astype(np.float32)
             ns = np.sum(av.astype(np.float64) ** 2, axis=1).astype(np.float32)
             inv = np.where(ns > 0, 1.0 / np.sqrt(np.maximum(ns, 1e-30)), 0.0)
-            self._blocks = self._blocks.at[r, p].set(
+            self._blocks_t = self._blocks_t.at[r, :, p].set(
                 jnp.asarray(resid.astype(self._np_compute_dtype()))
             )
             self._block_ns = self._block_ns.at[r, p].set(jnp.asarray(rns))
@@ -385,7 +389,7 @@ class IVFIndex:
         P = min(self.config.n_probe, K)
         dist, idx = ivf_query(
             jnp.asarray(q), cent_j, c_ns,
-            self._blocks, self._block_slot, self._block_ns, self._block_inv,
+            self._blocks_t, self._block_slot, self._block_ns, self._block_inv,
             block_keep, dev.vectors,
             metric=self._metric(), k=retrieve_k, n_probe=P,
             q_cap=self._q_cap(Bp, P, K),
@@ -393,6 +397,7 @@ class IVFIndex:
             oversample=self.config.oversample,
             probe_approx=self.config.probe_approx,
             probe_sel_approx=self.config.probe_sel_approx,
+            formulation=self.config.formulation,
         )
         dist = np.array(dist[:B0])  # writable copies: merge paths edit rows
         idx = np.array(idx[:B0])
@@ -579,7 +584,9 @@ class IVFIndex:
         inv = np.where(
             full_ns > 0, 1.0 / np.sqrt(np.maximum(full_ns, 1e-30)), 0.0
         ).astype(np.float32)
-        self._blocks = jnp.asarray(blocks.astype(self._np_compute_dtype()))
+        self._blocks_t = jnp.asarray(np.ascontiguousarray(
+            blocks.transpose(0, 2, 1).astype(self._np_compute_dtype())
+        ))
         self._block_slot = jnp.asarray(block_slot)
         self._block_ns = jnp.asarray(rns)
         self._block_inv = jnp.asarray(inv)

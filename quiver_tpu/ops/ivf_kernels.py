@@ -213,14 +213,14 @@ def balance_assignment(
     jax.jit,
     static_argnames=(
         "metric", "k", "n_probe", "q_cap", "compute_dtype", "oversample",
-        "probe_approx", "probe_sel_approx",
+        "probe_approx", "probe_sel_approx", "formulation",
     ),
 )
 def ivf_query(
     q: jax.Array,  # f32[B, d]
     centroids: jax.Array,  # f32[K, d]
     cent_norms_sq: jax.Array,  # f32[K]
-    blocks: jax.Array,  # [K, Cmax, d] RESIDUALS v - c_k (compute dtype)
+    blocks_t: jax.Array,  # [K, d, Cmax] RESIDUALS v - c_k (compute dtype)
     block_slot: jax.Array,  # i32[K, Cmax] global store slot (-1 pad)
     block_rns: jax.Array,  # f32[K, Cmax] residual norms |v - c_k|^2
     block_inv_norms: jax.Array,  # f32[K, Cmax] 1/|v| (full vector)
@@ -235,21 +235,28 @@ def ivf_query(
     oversample: int = 3,
     probe_approx: float | None = 0.95,
     probe_sel_approx: float | None = None,
+    formulation: str = "pairs",
 ):
     """Pruned batched search. Returns (dist f32[B, k], slot i32[B, k]) with
     exact f32 distances, -1 for empty.
 
-    Two design decisions carry the engine (profiled on TPU v5e at
-    B=2048, K=4096, Cmax=512 — benches/profile_ivf.py):
+    Design decisions that carry the engine (profiled on TPU v5e at 1M x
+    128-d — benches/profile_ivf*.py, profile_ragged*.py):
 
-    * **No block gather.** Queries are grouped per cluster into
-      ``qlist[K, q_cap]`` and the probe matmul is one batched einsum
-      against the RESIDENT block tensor — blocks stream linearly from HBM.
-      (The alternative — gathering ``blocks[cluster_of_group]`` — cost
-      6.9 ms alone, more than the whole budget.) A cluster probed by more
-      than ``q_cap`` queries drops the overflow pairs; q_cap auto-sizes to
-      ~8x the mean load, so only near-duplicate query floods hit the cap,
-      and those queries converge on the same clusters/results anyway.
+    * **Grouped matmul, no block gather.** (query, probe) pairs sort by
+      cluster — MoE-style: pairs are tokens, clusters are experts — and
+      the probe matmul reads each cluster block once, streamed from HBM.
+      Two formulations share everything else:
+
+      - ``formulation="pairs"`` (default): ``jax.lax.ragged_dot`` of the
+        pair-sorted query rows [BP, d] against blocks_t [K, d, Cmax].
+        Every pair is scored (no drops), per-pair scores reduce to R
+        survivors immediately.
+      - ``formulation="einsum"``: per-cluster query lists qlist[K, q_cap]
+        + one batched einsum. A cluster probed by more than ``q_cap``
+        queries drops the overflow pairs (q_cap auto-sizes to ~4x the
+        mean load). Kept for comparison and as a fallback where
+        ragged_dot lowers poorly.
 
     * **Residual encoding.** Blocks hold ``v - c_k`` in bf16 and the
       per-(query, cluster) constants re-enter in f32 from the probe stage.
@@ -262,23 +269,15 @@ def ivf_query(
       with |q-c|^2 exact from centroid scores; for dot/cosine:
       q·v = q·c + q·(v-c) with q·c exact.
 
-    * **One reduce per query.** Candidate scores flow back to queries as
-      one [BP, Cmax] row gather + a single ``approx_max_k`` over
-      [B, P*Cmax]; reducing per (cluster, query) first cost 13 ms in the
-      3D approx + 3 broadcast gathers (benches/profile_ivf3.py bisect).
-      Validity/facet masking is the caller's precomputed ``block_keep``
-      — gathering a slot-addressed mask in-kernel cost ~18 ms
-      (2M random single-byte loads).
-
     ``oversample``: survivors kept through the low-precision ranking
-    stage, as a multiple of k. ``probe_approx``: recall target of that
-    per-query partial reduce (None = exact sort). ``probe_sel_approx``:
+    stage, as a multiple of k. ``probe_approx``: recall target of the
+    partial reduces (None = exact sort). ``probe_sel_approx``:
     recall target for the top-P probe selection itself (None = exact;
     approximate probe selection trades a little recall for the [B, K]
     full sort, profiled 4.4 ms at B=2048, K=4096)."""
     metric = DistanceType.parse(metric)
     B, d = q.shape
-    K, Cmax, _ = blocks.shape
+    K, _, Cmax = blocks_t.shape
     P = min(n_probe, K)
 
     # ---- 1. probe selection: f32 affine centroid scores, top-P
@@ -300,14 +299,128 @@ def ivf_query(
     else:
         _, probe = jax.lax.top_k(c_scores, P)  # i32[B, P]
 
-    # ---- 2. invert (query, probe) pairs into per-cluster query lists with
-    # static shapes: sort pairs by cluster, rank within cluster, scatter
-    # into qlist[K, q_cap] (rank >= q_cap drops — see docstring).
+    # ---- 2. sort (query, probe) pairs by cluster (static shapes)
     BP = B * P
     flat_c = probe.reshape(BP)
     order = jnp.argsort(flat_c)
     sorted_c = flat_c[order]
     b_of = (order // P).astype(jnp.int32)
+
+    if formulation == "pairs":
+        best_s, best_slot = _pairs_candidates(
+            q, centroids, c_dots, c_aff, probe, order, sorted_c, b_of,
+            blocks_t, block_slot, block_rns, block_inv_norms, block_keep,
+            metric=metric, k=k, compute_dtype=compute_dtype,
+            oversample=oversample, probe_approx=probe_approx,
+        )
+    else:
+        best_s, best_slot = _einsum_candidates(
+            q, centroids, c_dots, c_aff, order, sorted_c, b_of, flat_c,
+            blocks_t, block_slot, block_rns, block_inv_norms, block_keep,
+            metric=metric, k=k, q_cap=q_cap, compute_dtype=compute_dtype,
+            oversample=oversample, probe_approx=probe_approx,
+        )
+    n_sur = best_s.shape[1]
+
+    # ---- 6. exact f32 rescore of the survivors + final top-k
+    rows = store_vectors[jnp.maximum(best_slot, 0)].astype(jnp.float32)
+    from quiver_tpu.ops.distance import distance_pairs
+
+    qb = jnp.broadcast_to(q[:, None, :], rows.shape).reshape(-1, d)
+    dist = distance_pairs(qb, rows.reshape(-1, d), metric).reshape(B, n_sur)
+    dist = jnp.where(best_slot >= 0, dist, MASKED_DIST)
+    k_out = min(k, n_sur)
+    neg_top, posn = jax.lax.top_k(-dist, k_out)
+    dist = -neg_top
+    best_slot = jnp.take_along_axis(best_slot, posn, axis=1)
+    best_slot = jnp.where(dist >= MASKED_DIST, -1, best_slot)
+    if k_out < k:
+        pad = k - k_out
+        dist = jnp.pad(dist, ((0, 0), (0, pad)), constant_values=MASKED_DIST)
+        best_slot = jnp.pad(best_slot, ((0, 0), (0, pad)), constant_values=-1)
+    return dist, best_slot
+
+
+def _pairs_candidates(
+    q, centroids, c_dots, c_aff, probe, order, sorted_c, b_of,
+    blocks_t, block_slot, block_rns, block_inv_norms, block_keep,
+    *, metric, k, compute_dtype, oversample, probe_approx,
+):
+    """Grouped-matmul candidate stage: ``ragged_dot`` of pair-sorted query
+    rows against the resident block tensor (pairs = tokens, clusters =
+    experts). Each pair's score row reduces to its top-R immediately, so
+    the per-query merge runs over [B, P*R] instead of [B, P*Cmax] and no
+    pair is ever dropped (the einsum path's q_cap overflow)."""
+    B, d = q.shape
+    K, _, Cmax = blocks_t.shape
+    P = probe.shape[1]
+    BP = B * P
+    group_sizes = jnp.bincount(sorted_c, length=K).astype(jnp.int32)
+    qp = q[b_of]
+    if metric in (DistanceType.EUCLIDEAN, DistanceType.SQUARED_EUCLIDEAN):
+        qp = qp - centroids[sorted_c]  # query residual vs this cluster
+    dots = jax.lax.ragged_dot(
+        qp.astype(compute_dtype), blocks_t.astype(compute_dtype),
+        group_sizes, preferred_element_type=jnp.float32,
+    )  # f32[BP, Cmax] = (q[-c]) · (v-c)
+
+    # f32 per-pair constants from the probe stage, in pair-sorted order
+    if metric == DistanceType.COSINE:
+        cdots_p = jnp.take_along_axis(c_dots, probe, axis=1).reshape(BP)[order]
+        scores = (dots + cdots_p[:, None]) * block_inv_norms[sorted_c]
+    elif metric == DistanceType.DOT_PRODUCT:
+        cdots_p = jnp.take_along_axis(c_dots, probe, axis=1).reshape(BP)[order]
+        scores = dots + cdots_p[:, None]
+    else:
+        # -|q-v|^2 + |q|^2 = 2(q-c)·(v-c) - |v-c|^2 + (-|q-c|^2 + |q|^2)
+        caff_p = jnp.take_along_axis(c_aff, probe, axis=1).reshape(BP)[order]
+        scores = 2.0 * dots - block_rns[sorted_c] + caff_p[:, None]
+    scores = jnp.where(block_keep[sorted_c], scores, NEG_BIG)
+
+    # per-pair reduce to R survivors, recording flat block positions
+    R = min(Cmax, max(16, k))
+    if probe_approx is not None and 2 * R <= Cmax:
+        s_pair, pos = jax.lax.approx_max_k(
+            scores, R, recall_target=probe_approx
+        )
+    else:
+        s_pair, pos = jax.lax.top_k(scores, R)
+    fpos = sorted_c[:, None] * Cmax + pos  # [BP, R] flat block position
+
+    # regroup pairs to queries (inverse permutation via scatter) + merge
+    inv = (
+        jnp.zeros(BP, jnp.int32)
+        .at[order]
+        .set(jnp.arange(BP, dtype=jnp.int32))
+    )
+    cand_s = s_pair[inv].reshape(B, P * R)
+    cand_f = fpos[inv].reshape(B, P * R)
+    n_sur = min(k * oversample, P * R)
+    if probe_approx is not None and 2 * n_sur <= P * R:
+        best_s, sel = jax.lax.approx_max_k(
+            cand_s, n_sur, recall_target=probe_approx
+        )
+    else:
+        best_s, sel = jax.lax.top_k(cand_s, n_sur)
+    best_f = jnp.take_along_axis(cand_f, sel, axis=1)
+    best_slot = block_slot.reshape(-1)[best_f]  # [B, n_sur]
+    best_slot = jnp.where(best_s > NEG_BIG / 2, best_slot, -1)
+    return best_s, best_slot
+
+
+def _einsum_candidates(
+    q, centroids, c_dots, c_aff, order, sorted_c, b_of, flat_c,
+    blocks_t, block_slot, block_rns, block_inv_norms, block_keep,
+    *, metric, k, q_cap, compute_dtype, oversample, probe_approx,
+):
+    """Per-cluster query-list candidate stage: invert pairs into
+    qlist[K, q_cap] (rank >= q_cap drops) and run one batched einsum
+    against the resident blocks. One [BP, Cmax] row gather brings scores
+    back to queries; a single partial top-k feeds the rescore."""
+    B, d = q.shape
+    K, _, Cmax = blocks_t.shape
+    BP = b_of.shape[0]
+    P = BP // B
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_c[1:] != sorted_c[:-1]]
     )
@@ -324,16 +437,16 @@ def ivf_query(
         .set(b_of, mode="drop")
     )
 
-    # ---- 3. batched per-cluster matmul against the RESIDENT blocks
+    # batched per-cluster matmul against the RESIDENT blocks
     have_q = qlist >= 0
     qsel = jnp.maximum(qlist, 0)
     qf = q[qsel]  # f32[K, q_cap, d]
     if metric in (DistanceType.EUCLIDEAN, DistanceType.SQUARED_EUCLIDEAN):
         qf = qf - centroids[:, None, :]  # query residual vs this cluster
     dots = jnp.einsum(
-        "kbd,kcd->kbc",
+        "kbd,kdc->kbc",
         qf.astype(compute_dtype),
-        blocks.astype(compute_dtype),
+        blocks_t.astype(compute_dtype),
         preferred_element_type=jnp.float32,
     )  # f32[K, q_cap, Cmax]
 
@@ -354,10 +467,9 @@ def ivf_query(
         block_keep[:, None, :] & have_q[:, :, None], scores, NEG_BIG
     )
 
-    # ---- 4. per-pair score rows back to their queries: pair i (query
-    # b_of, probe p_of) reads its row at scores[flat_c[i], rank-in-orig-
-    # order]; dropped pairs (rank >= q_cap) mask out. One gather — no
-    # 3D reduce, no scatter.
+    # per-pair score rows back to their queries: pair i (query b_of,
+    # probe p_of) reads its row at scores[flat_c[i], rank-in-orig-order];
+    # dropped pairs (rank >= q_cap) mask out. One gather — no 3D reduce.
     inv = jnp.argsort(order)  # original pair -> sorted position
     col_orig = jnp.minimum(col, q_cap - 1)[inv]  # [BP]
     in_cap_orig = in_cap[inv]
@@ -366,9 +478,9 @@ def ivf_query(
     ).reshape(B, P * Cmax)
     cand_slot = block_slot[flat_c].reshape(B, P * Cmax)
 
-    # ---- 5. ONE oversampled partial top-k per query feeds the rescore
-    # (bf16 stage noise); a slot appears at most once per query — its
-    # cluster block is unique and probes are distinct.
+    # ONE oversampled partial top-k per query feeds the rescore (bf16
+    # stage noise); a slot appears at most once per query — its cluster
+    # block is unique and probes are distinct.
     n_sur = min(k * oversample, P * Cmax)
     if probe_approx is not None and 2 * n_sur <= P * Cmax:
         best_s, sel = jax.lax.approx_max_k(
@@ -378,21 +490,4 @@ def ivf_query(
         best_s, sel = jax.lax.top_k(cand_s, n_sur)
     best_slot = jnp.take_along_axis(cand_slot, sel, axis=1)
     best_slot = jnp.where(best_s > NEG_BIG, best_slot, -1)
-
-    # ---- 6. exact f32 rescore of the survivors + final top-k
-    rows = store_vectors[jnp.maximum(best_slot, 0)].astype(jnp.float32)
-    from quiver_tpu.ops.distance import distance_pairs
-
-    qb = jnp.broadcast_to(q[:, None, :], rows.shape).reshape(-1, d)
-    dist = distance_pairs(qb, rows.reshape(-1, d), metric).reshape(B, n_sur)
-    dist = jnp.where(best_slot >= 0, dist, MASKED_DIST)
-    k_out = min(k, n_sur)
-    neg_top, posn = jax.lax.top_k(-dist, k_out)
-    dist = -neg_top
-    best_slot = jnp.take_along_axis(best_slot, posn, axis=1)
-    best_slot = jnp.where(dist >= MASKED_DIST, -1, best_slot)
-    if k_out < k:
-        pad = k - k_out
-        dist = jnp.pad(dist, ((0, 0), (0, pad)), constant_values=MASKED_DIST)
-        best_slot = jnp.pad(best_slot, ((0, 0), (0, pad)), constant_values=-1)
-    return dist, best_slot
+    return best_s, best_slot
