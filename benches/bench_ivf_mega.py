@@ -1,5 +1,9 @@
-"""IVF QPS/recall at serving batch sizes with the fused seg epilogue vs the
-full-row path; uses the cached 1M build + f64 truth."""
+"""IVF engine QPS/recall at serving batch sizes — drives IVFIndex (the
+real engine path) over the cached 1M build; sweeps config knobs in ONE
+process so comparisons dodge cross-process chip variance.
+
+Usage: python benches/bench_ivf_mega.py [B ...]
+"""
 
 import os
 import sys
@@ -9,21 +13,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from benches.profile_ragged2 import clustered, get_build
 from benches.truth import recall_with_ties
 
 N, D, K_TOP = 1_000_000, 128, 10
-N_CENTERS = 1000
 TRUTH_CACHE = "/tmp/truth_f64_1m.npz"
-BUILD_CACHE = "/tmp/ivf_build_1m.npz"
 DEPTH = 8
-
-
-def clustered(n, seed=0):
-    rng = np.random.default_rng(seed)
-    centers = rng.normal(size=(N_CENTERS, D)).astype(np.float32)
-    which = rng.integers(0, N_CENTERS, n)
-    out = centers[which] + 0.25 * rng.normal(size=(n, D)).astype(np.float32)
-    return out.astype(np.float32), centers, which
 
 
 def main():
@@ -31,8 +26,8 @@ def main():
 
     from quiver_tpu.core.store import VectorStore
     from quiver_tpu.index.ivf import IVFConfig, IVFIndex
-    from quiver_tpu.ops.ivf_kernels import ivf_query
 
+    Bs = [int(x) for x in sys.argv[1:]] or [2048, 16384]
     vecs, _, _ = clustered(N)
     rng = np.random.default_rng(1)
     B0 = 2048
@@ -40,33 +35,20 @@ def main():
     z = np.load(TRUTH_CACHE)
     d10 = z["d"][:, K_TOP - 1]
 
+    cents, assign, cmax = get_build(vecs, 1024)
     store = VectorStore(dim=D, metric="euclidean", capacity=N)
     store.add_batch([f"v{i}" for i in range(N)], vecs)
-    dev = store.device_view()
 
-    eng = IVFIndex(store, config=IVFConfig(
-        n_clusters=4096, n_probe=8, kmeans_iters=8, build_threshold=1024))
-    zb = np.load(BUILD_CACHE)
-    eng.import_topology(
-        {"kind": np.bytes_(b"ivf"), "centroids": zb["centroids"],
-         "assign": zb["assign"], "cmax": zb["cmax"]},
-        np.arange(store.capacity))
-    K = eng.n_clusters
-    print(f"K'={K} Cmax={eng._block_slot.shape[1]}", flush=True)
-
-    P = 8
-    cent_j, c_ns = eng._cent_dev
-    keep = eng._keep_dev()
-
-    def run(qb, seg, q_cap):
-        return ivf_query(
-            jnp.asarray(qb), cent_j, c_ns, eng._blocks, eng._block_slot,
-            eng._block_ns, eng._block_inv, keep, dev.vectors,
-            metric="euclidean", k=K_TOP, n_probe=P, q_cap=q_cap,
-            compute_dtype=eng.compute_dtype,
-            oversample=eng.config.oversample,
-            probe_approx=eng.config.probe_approx,
-            probe_sel_approx=eng.config.probe_sel_approx, seg=seg)
+    def make_engine(**cfg):
+        eng = IVFIndex(store, config=IVFConfig(
+            n_probe=8, kmeans_iters=8, build_threshold=1024, **cfg))
+        eng.import_topology(
+            {"kind": np.bytes_(b"ivf"), "centroids": cents,
+             "assign": assign, "cmax": np.int64(cmax)},
+            np.arange(store.capacity))
+        print(f"engine ready K'={eng.n_clusters} "
+              f"Cmax={eng._block_slot.shape[1]}", flush=True)
+        return eng
 
     def timed(fn, depth=DEPTH):
         outs = [fn() for _ in range(2)]
@@ -76,22 +58,30 @@ def main():
         _ = np.asarray(outs[-1][0]).ravel()[:1]
         return (time.perf_counter() - t0) / depth
 
-    for B in (2048, 8192, 16384, 32768):
-        reps = max(1, B // B0)
-        qb = np.concatenate([
-            queries if r == 0 else
-            (queries + 0.01 * np.random.default_rng(100 + r).normal(
-                size=queries.shape)).astype(np.float32)
-            for r in range(reps)
-        ])[:B]
-        q_cap = eng._q_cap(B, P, K)
-        for seg in (16, None):
-            d, i = run(qb, seg, q_cap)
+    configs = [
+        dict(rescore=False, n_probe=4),
+        dict(rescore=False, n_probe=8),
+        dict(rescore=True, n_probe=8),
+    ]
+    eng = make_engine()
+    for cfg in configs:
+        eng.config.rescore = cfg["rescore"]
+        eng.config.n_probe = cfg["n_probe"]
+        for B in Bs:
+            reps = max(1, B // B0)
+            qb = np.concatenate([
+                queries if r == 0 else
+                (queries + 0.01 * np.random.default_rng(100 + r).normal(
+                    size=queries.shape)).astype(np.float32)
+                for r in range(reps)
+            ])[:B]
+            qj = jnp.asarray(qb)
+            d, i = eng.search_slots_device(qj, K_TOP)
             rec = recall_with_ties(
                 np.asarray(i)[:B0], queries, vecs, d10, K_TOP)
-            dt = timed(lambda: run(qb, seg, q_cap))
-            print(f"B={B:6d} seg={str(seg):5s} q_cap={q_cap:4d}: "
-                  f"{dt*1e3:8.2f} ms = {B/dt:12,.0f} QPS  "
+            dt = timed(lambda: eng.search_slots_device(qj, K_TOP))
+            print(f"rescore={str(cfg['rescore']):5s} P={cfg['n_probe']} "
+                  f"B={B:6d}: {dt*1e3:8.2f} ms = {B/dt:12,.0f} QPS  "
                   f"true recall {rec:.4f}", flush=True)
 
 

@@ -97,6 +97,13 @@ class IVFConfig:
     #: capped at q_cap) or "pairs" (ragged grouped matmul — no pair
     #: drops) — ops/ivf_kernels.ivf_query docstring
     formulation: str = "einsum"
+    #: window width for the segmented top-2 candidate reduce (None = one
+    #: partial top-k over [B, P*Cmax]; see ivf_query docstring)
+    seg_width: Optional[int] = 32
+    #: exact f32 re-rank of the oversampled survivors (True) vs
+    #: score-derived distances with no survivor gather (False — faster
+    #: at serving batch sizes, distances carry bf16-residual noise)
+    rescore: bool = True
     #: below this many rows the exact scan is used (and is faster anyway)
     build_threshold: int = 8192
     #: rebuild when (inserts+deletes since build) / built_size exceeds this
@@ -344,6 +351,41 @@ class IVFIndex:
             max(8, int(np.ceil(f * B * P / K))), lo=8, hi=min(1024, _pow2(B))
         )
 
+    def search_slots_device(self, queries, k: int, *, mask=None):
+        """Device-resident serving path: jax-array queries in (batch padded
+        to a compiled shape by the caller), (dist, slot) jax arrays out,
+        ZERO host syncs — the overflow merge, under-fill supplement and
+        negative rerank of :meth:`search_slots` are host-side conveniences
+        layered on top of this. Used by the pipelined serving benches
+        (dispatch many batches, fetch the last — the only timing that
+        survives a remote-dispatch link) and by callers that keep results
+        on device."""
+        if not self._built:
+            raise RuntimeError("IVF index is not built")
+        dev = self.store.device_view()
+        block_keep = self._keep_dev()
+        if mask is not None:
+            block_keep = _mask_block_keep(
+                block_keep, self._block_slot, mask
+            )
+        cent_j, c_ns = self._cent_dev
+        K = cent_j.shape[0]
+        P = min(self.config.n_probe, K)
+        return ivf_query(
+            queries, cent_j, c_ns,
+            self._blocks_t, self._block_slot, self._block_ns,
+            self._block_inv, block_keep, dev.vectors,
+            metric=self._metric(), k=k, n_probe=P,
+            q_cap=self._q_cap(queries.shape[0], P, K),
+            compute_dtype=self.compute_dtype,
+            oversample=self.config.oversample,
+            probe_approx=self.config.probe_approx,
+            probe_sel_approx=self.config.probe_sel_approx,
+            formulation=self.config.formulation,
+            seg_width=self.config.seg_width,
+            rescore=self.config.rescore,
+        )
+
     def search_slots(
         self,
         queries,
@@ -370,34 +412,15 @@ class IVFIndex:
                 negative_weight=negative_weight,
             )
         dev = self.store.device_view()
-        block_keep = self._keep_dev()
-        if mask is not None:
-            # fold the facet mask into block space (one fused gather; the
-            # unfiltered path never pays a slot-addressed gather)
-            block_keep = _mask_block_keep(
-                block_keep, self._block_slot,
-                jnp.asarray(np.asarray(mask, bool)),
-            )
         # pad batch to pow2 (stable compiled shapes)
         B0 = q.shape[0]
         Bp = _pow2(B0, lo=8)
         if Bp != B0:
             q = np.concatenate([q, np.zeros((Bp - B0, q.shape[1]), np.float32)])
-        cent_j, c_ns = self._cent_dev
-        K = cent_j.shape[0]
         retrieve_k = k if negative is None else min(max(2 * k, 30), self.store.size)
-        P = min(self.config.n_probe, K)
-        dist, idx = ivf_query(
-            jnp.asarray(q), cent_j, c_ns,
-            self._blocks_t, self._block_slot, self._block_ns, self._block_inv,
-            block_keep, dev.vectors,
-            metric=self._metric(), k=retrieve_k, n_probe=P,
-            q_cap=self._q_cap(Bp, P, K),
-            compute_dtype=self.compute_dtype,
-            oversample=self.config.oversample,
-            probe_approx=self.config.probe_approx,
-            probe_sel_approx=self.config.probe_sel_approx,
-            formulation=self.config.formulation,
+        dist, idx = self.search_slots_device(
+            jnp.asarray(q), retrieve_k,
+            mask=None if mask is None else jnp.asarray(np.asarray(mask, bool)),
         )
         dist = np.array(dist[:B0])  # writable copies: merge paths edit rows
         idx = np.array(idx[:B0])

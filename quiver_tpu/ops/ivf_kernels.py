@@ -213,7 +213,8 @@ def balance_assignment(
     jax.jit,
     static_argnames=(
         "metric", "k", "n_probe", "q_cap", "compute_dtype", "oversample",
-        "probe_approx", "probe_sel_approx", "formulation",
+        "probe_approx", "probe_sel_approx", "formulation", "seg_width",
+        "rescore",
     ),
 )
 def ivf_query(
@@ -235,7 +236,9 @@ def ivf_query(
     oversample: int = 3,
     probe_approx: float | None = 0.95,
     probe_sel_approx: float | None = None,
-    formulation: str = "pairs",
+    formulation: str = "einsum",
+    seg_width: int | None = 32,
+    rescore: bool = True,
 ):
     """Pruned batched search. Returns (dist f32[B, k], slot i32[B, k]) with
     exact f32 distances, -1 for empty.
@@ -269,12 +272,29 @@ def ivf_query(
       with |q-c|^2 exact from centroid scores; for dot/cosine:
       q·v = q·c + q·(v-c) with q·c exact.
 
+    * **Windowed candidate reduce** (``seg_width``): ``lax.approx_max_k``
+      measured ~70x slower than max/argmax passes at [131k, 1152]
+      (benches/profile_reduce.py), so the per-query candidate reduce runs
+      as top-2-per-window segmented argmax over windows of ``seg_width``
+      lanes, then one small partial top-k over the [B, 2*P*S] window
+      winners. A true neighbor is lost only when 3+ of the query's top-k
+      land in the same window of the same cluster (<1% measured at W=32).
+
+    * **Score-derived distances** (``rescore=False``): residual encoding
+      makes the stage scores exact up to bf16 noise on cluster-radius
+      magnitudes, so distances are reconstructed from the affine scores
+      (d^2 = |q|^2 - score for L2) instead of gathering survivor rows —
+      the [B*n_sur] random row gather was the single most expensive stage
+      at serving batch sizes (~110 ns per gathered row on v5e).
+      ``rescore=True`` keeps the exact f32 re-rank of the oversampled
+      survivor set (slightly higher recall, exact output distances).
+
     ``oversample``: survivors kept through the low-precision ranking
     stage, as a multiple of k. ``probe_approx``: recall target of the
     partial reduces (None = exact sort). ``probe_sel_approx``:
     recall target for the top-P probe selection itself (None = exact;
-    approximate probe selection trades a little recall for the [B, K]
-    full sort, profiled 4.4 ms at B=2048, K=4096)."""
+    only used when n_probe > 16 — below that, iterated argmax is exact
+    and faster than both sort and approx_max_k)."""
     metric = DistanceType.parse(metric)
     B, d = q.shape
     K, _, Cmax = blocks_t.shape
@@ -291,7 +311,17 @@ def ivf_query(
         c_scores = c_dots
     else:  # euclidean family probes by true centroid distance
         c_scores = c_aff
-    if probe_sel_approx is not None and 2 * P <= K:
+    if P <= 16:
+        # iterated argmax: P cheap passes, exact (approx_max_k and top_k
+        # are both far slower at [B, K] shapes — profile_reduce.py)
+        sm = c_scores
+        cols = []
+        for _ in range(P):
+            a = jnp.argmax(sm, axis=1).astype(jnp.int32)
+            cols.append(a)
+            sm = sm.at[jnp.arange(B), a].set(-jnp.inf)
+        probe = jnp.stack(cols, axis=1)  # i32[B, P]
+    elif probe_sel_approx is not None and 2 * P <= K:
         _, probe = jax.lax.approx_max_k(
             c_scores, P, recall_target=probe_sel_approx
         )
@@ -319,21 +349,39 @@ def ivf_query(
             blocks_t, block_slot, block_rns, block_inv_norms, block_keep,
             metric=metric, k=k, q_cap=q_cap, compute_dtype=compute_dtype,
             oversample=oversample, probe_approx=probe_approx,
+            seg_width=seg_width,
         )
     n_sur = best_s.shape[1]
-
-    # ---- 6. exact f32 rescore of the survivors + final top-k
-    rows = store_vectors[jnp.maximum(best_slot, 0)].astype(jnp.float32)
-    from quiver_tpu.ops.distance import distance_pairs
-
-    qb = jnp.broadcast_to(q[:, None, :], rows.shape).reshape(-1, d)
-    dist = distance_pairs(qb, rows.reshape(-1, d), metric).reshape(B, n_sur)
-    dist = jnp.where(best_slot >= 0, dist, MASKED_DIST)
     k_out = min(k, n_sur)
-    neg_top, posn = jax.lax.top_k(-dist, k_out)
-    dist = -neg_top
-    best_slot = jnp.take_along_axis(best_slot, posn, axis=1)
-    best_slot = jnp.where(dist >= MASKED_DIST, -1, best_slot)
+
+    if rescore:
+        # ---- exact f32 rescore of the survivors + final top-k
+        rows = store_vectors[jnp.maximum(best_slot, 0)].astype(jnp.float32)
+        from quiver_tpu.ops.distance import distance_pairs
+
+        qb = jnp.broadcast_to(q[:, None, :], rows.shape).reshape(-1, d)
+        dist = distance_pairs(qb, rows.reshape(-1, d), metric).reshape(
+            B, n_sur)
+        dist = jnp.where(best_slot >= 0, dist, MASKED_DIST)
+        neg_top, posn = jax.lax.top_k(-dist, k_out)
+        dist = -neg_top
+        best_slot = jnp.take_along_axis(best_slot, posn, axis=1)
+        best_slot = jnp.where(dist >= MASKED_DIST, -1, best_slot)
+    else:
+        # ---- score-derived distances: rank by stage score, reconstruct
+        # the distance from the affine identity (no survivor row gather)
+        top_s, posn = jax.lax.top_k(best_s, k_out)
+        best_slot = jnp.take_along_axis(best_slot, posn, axis=1)
+        if metric in (DistanceType.COSINE, DistanceType.DOT_PRODUCT):
+            dist = 1.0 - top_s
+        else:
+            qns = jnp.sum(q * q, axis=1, keepdims=True)
+            d2 = jnp.maximum(qns - top_s, 0.0)
+            if metric == DistanceType.EUCLIDEAN:
+                dist = jnp.sqrt(d2)
+            else:
+                dist = d2
+        dist = jnp.where(best_slot >= 0, dist, MASKED_DIST)
     if k_out < k:
         pad = k - k_out
         dist = jnp.pad(dist, ((0, 0), (0, pad)), constant_values=MASKED_DIST)
@@ -412,11 +460,15 @@ def _einsum_candidates(
     q, centroids, c_dots, c_aff, order, sorted_c, b_of, flat_c,
     blocks_t, block_slot, block_rns, block_inv_norms, block_keep,
     *, metric, k, q_cap, compute_dtype, oversample, probe_approx,
+    seg_width=None,
 ):
     """Per-cluster query-list candidate stage: invert pairs into
     qlist[K, q_cap] (rank >= q_cap drops) and run one batched einsum
     against the resident blocks. One [BP, Cmax] row gather brings scores
-    back to queries; a single partial top-k feeds the rescore."""
+    back to queries (WIDE rows — TPU gathers pay a flat ~110 ns/row, so
+    the regroup must move the big tensor, not the reduced one); then the
+    windowed top-2 reduce (``seg_width``) or, when shapes don't allow it,
+    one partial top-k over [B, P*Cmax]."""
     B, d = q.shape
     K, _, Cmax = blocks_t.shape
     BP = b_of.shape[0]
@@ -473,6 +525,46 @@ def _einsum_candidates(
     inv = jnp.argsort(order)  # original pair -> sorted position
     col_orig = jnp.minimum(col, q_cap - 1)[inv]  # [BP]
     in_cap_orig = in_cap[inv]
+    W = seg_width
+    S = 0 if not W else Cmax // W
+    # engage the windowed reduce only when one pair's window capacity (2S)
+    # covers k — a query's true top-k often lives in ONE cluster, and
+    # windows cap what a single pair can contribute
+    if W and Cmax % W == 0 and S >= k and 2 * P * S >= k * oversample:
+        # windowed top-2 reduce: the [B, P*S, W] view of the regrouped
+        # rows reduces to 2 winners per window by two max/argmax passes
+        # (approx_max_k at these shapes measured ~70x slower); flat block
+        # positions are reconstructed from (cluster, window, lane), so no
+        # [BP, Cmax] slot gather is needed — slots resolve only for the
+        # n_sur finalists.
+        probe = flat_c.reshape(B, P)
+        rows = jnp.where(
+            in_cap_orig[:, None], scores[flat_c, col_orig], NEG_BIG
+        ).reshape(B, P * S, W)
+        m1 = jnp.max(rows, axis=2)
+        a1 = jnp.argmax(rows, axis=2).astype(jnp.int32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 2)
+        r2 = jnp.where(lane == a1[:, :, None], -jnp.inf, rows)
+        m2 = jnp.max(r2, axis=2)
+        a2 = jnp.argmax(r2, axis=2).astype(jnp.int32)
+        cand_s = jnp.concatenate([m1, m2], axis=1)  # [B, 2PS]
+        segb = jnp.tile(
+            (jnp.arange(S, dtype=jnp.int32) * W)[None, :], (1, P))
+        cl = jnp.repeat(probe, S, axis=1)  # [B, P*S]
+        f1 = cl * Cmax + segb + a1
+        f2 = cl * Cmax + segb + a2
+        cand_f = jnp.concatenate([f1, f2], axis=1)
+        n_sur = min(k * oversample, 2 * P * S)
+        if probe_approx is not None and 2 * n_sur <= 2 * P * S:
+            best_s, sel = jax.lax.approx_max_k(
+                cand_s, n_sur, recall_target=probe_approx)
+        else:
+            best_s, sel = jax.lax.top_k(cand_s, n_sur)
+        best_f = jnp.take_along_axis(cand_f, sel, axis=1)
+        best_slot = block_slot.reshape(-1)[best_f]
+        best_slot = jnp.where(best_s > NEG_BIG / 2, best_slot, -1)
+        return best_s, best_slot
+
     cand_s = jnp.where(
         in_cap_orig[:, None], scores[flat_c, col_orig], NEG_BIG
     ).reshape(B, P * Cmax)
