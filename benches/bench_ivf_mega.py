@@ -59,14 +59,16 @@ def main():
         return (time.perf_counter() - t0) / depth
 
     configs = [
-        dict(rescore=False, n_probe=4),
-        dict(rescore=False, n_probe=8),
-        dict(rescore=True, n_probe=8),
+        dict(rescore=False, n_probe=4, q_cap_factor=2, seg_width=32),
+        dict(rescore=False, n_probe=4, q_cap_factor=4, seg_width=32),
+        dict(rescore=False, n_probe=4, q_cap_factor=2, seg_width=64),
+        dict(rescore=False, n_probe=8, q_cap_factor=2, seg_width=32),
+        dict(rescore=True, n_probe=8, q_cap_factor=2, seg_width=32),
     ]
     eng = make_engine()
     for cfg in configs:
-        eng.config.rescore = cfg["rescore"]
-        eng.config.n_probe = cfg["n_probe"]
+        for k2, v2 in cfg.items():
+            setattr(eng.config, k2, v2)
         for B in Bs:
             reps = max(1, B // B0)
             qb = np.concatenate([
@@ -80,9 +82,8 @@ def main():
             rec = recall_with_ties(
                 np.asarray(i)[:B0], queries, vecs, d10, K_TOP)
             dt = timed(lambda: eng.search_slots_device(qj, K_TOP))
-            print(f"rescore={str(cfg['rescore']):5s} P={cfg['n_probe']} "
-                  f"B={B:6d}: {dt*1e3:8.2f} ms = {B/dt:12,.0f} QPS  "
-                  f"true recall {rec:.4f}", flush=True)
+            print(f"{cfg} B={B:6d}: {dt*1e3:8.2f} ms = "
+                  f"{B/dt:12,.0f} QPS  true recall {rec:.4f}", flush=True)
 
 
 if __name__ == "__main__":

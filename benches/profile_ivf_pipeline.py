@@ -1,24 +1,25 @@
-"""v3 pipeline: einsum qlist formulation + big-row regroup + query-major
-seg-top-2 + fpos-based slot lookup (no [BP,Cmax] slot gather).
+"""v4 variants: regroup as P separate B-row gathers, optional bf16
+scores, window width sweep — chasing the cluster->query crossing cost.
 
-Usage: python benches/profile_ragged6.py [K] [P] [W] [NSUR] [QCAPF] [B ...]
+Usage: python benches/profile_ragged8.py [K] [P] [W] [QCAPF] [VARIANT] [B...]
+VARIANT: basew (v3 regroup) | pgather | pgather16 (bf16 scores)
 """
 
 import os
 import sys
-import time
 from functools import partial
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from benches.profile_ragged2 import clustered, get_build, wall
+from benches.ivf_lab import clustered, get_build, wall
 from benches.truth import recall_with_ties
 
 N, D, K_TOP = 1_000_000, 128, 10
 TRUTH_CACHE = "/tmp/truth_f64_1m.npz"
 LO, HI = 1, 5
+NSUR = 40
 
 
 def _pow2(n, lo=8, hi=1 << 30):
@@ -37,10 +38,9 @@ def main():
     K_req = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     P = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     W = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-    NSUR = int(sys.argv[4]) if len(sys.argv) > 4 else 40
-    QCAPF = int(sys.argv[5]) if len(sys.argv) > 5 else 2
-    RESCORE = sys.argv[6] if len(sys.argv) > 6 else "nsur"  # nsur|final|none
-    Bs = [int(x) for x in sys.argv[7:]] or [2048, 16384]
+    QCAPF = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    VARIANTS = (sys.argv[5] if len(sys.argv) > 5 else "pgather").split(",")
+    Bs = [int(x) for x in sys.argv[6:]] or [16384]
 
     print("devices:", jax.devices(), flush=True)
     vecs, _, _ = clustered(N)
@@ -53,8 +53,8 @@ def main():
     cents, assign, Cmax = get_build(vecs, K_req)
     K = len(cents)
     S = Cmax // W
-    print(f"K={K} Cmax={Cmax} P={P} W={W} S={S} NSUR={NSUR} QCAPF={QCAPF} "
-          f"rescore={RESCORE} scan-frac={P*Cmax/N:.4f}", flush=True)
+    print(f"K={K} Cmax={Cmax} P={P} W={W} S={S} QCAPF={QCAPF} "
+          f"variants={VARIANTS}", flush=True)
 
     order0 = np.argsort(assign, kind="stable")
     start = np.zeros(K + 1, np.int64)
@@ -75,13 +75,12 @@ def main():
     del blocks
     rns_j = jnp.asarray(rns)
     bslot_flat = jnp.asarray(block_slot.reshape(-1))
-    sv = jnp.asarray(vecs)
-    args = (cents_j, cns_j, blocks_t, rns_j, bslot_flat, sv)
+    args = (cents_j, cns_j, blocks_t, rns_j, bslot_flat)
 
-    def make_body(B):
+    def make_body(B, VARIANT):
         q_cap = _pow2(max(8, QCAPF * B * P // K), lo=8, hi=_pow2(B))
 
-        def body(q, cents_j, cns_j, blocks_t, rns_j, bslot_flat, sv):
+        def body(q, cents_j, cns_j, blocks_t, rns_j, bslot_flat):
             c_dots = q @ cents_j.T
             c_aff = 2.0 * c_dots - cns_j[None, :]
             s = c_aff
@@ -115,32 +114,39 @@ def main():
             caff_sel = jnp.take_along_axis(c_aff.T, qsel, axis=1)
             scores = 2.0 * dots - rns_j[:, None, :] + caff_sel[:, :, None]
             scores = jnp.where(have_q[:, :, None], scores, NEG_BIG)
-            # big-row regroup to query-major, then seg-top-2
+            if VARIANT == "pgather16":
+                scores = scores.astype(jnp.bfloat16)
             inv = jnp.argsort(order)
-            col_orig = jnp.minimum(col, q_cap - 1)[inv]
-            in_cap_orig = in_cap[inv]
-            rows = jnp.where(
-                in_cap_orig[:, None], scores[flat_c, col_orig], NEG_BIG
-            ).reshape(B, P * S, W)
+            col_b = jnp.minimum(col, q_cap - 1)[inv].reshape(B, P)
+            in_cap_b = in_cap[inv].reshape(B, P)
+            if VARIANT == "basew":
+                rows = jnp.where(
+                    in_cap_b.reshape(BP)[:, None],
+                    scores[flat_c, col_b.reshape(BP)], NEG_BIG
+                ).reshape(B, P * S, W)
+            else:
+                parts = [
+                    jnp.where(
+                        in_cap_b[:, j:j + 1],
+                        scores[probe[:, j], col_b[:, j]], NEG_BIG)
+                    for j in range(P)
+                ]
+                rows = jnp.stack(parts, axis=1).reshape(B, P * S, W)
+            rows = rows.astype(jnp.float32)
             m1 = jnp.max(rows, axis=2)
             a1 = jnp.argmax(rows, axis=2).astype(jnp.int32)
             lane = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 2)
             r2 = jnp.where(lane == a1[:, :, None], -jnp.inf, rows)
             m2 = jnp.max(r2, axis=2)
             a2 = jnp.argmax(r2, axis=2).astype(jnp.int32)
-            cand_s = jnp.concatenate([m1, m2], axis=1)  # [B, 2PS]
-            # flat block position of each window winner:
-            # window (b, j*S+s) lane a -> cluster probe[b,j], pos s*W+a
+            cand_s = jnp.concatenate([m1, m2], axis=1)
             segb = jnp.tile(
                 (jnp.arange(S, dtype=jnp.int32) * W)[None, :], (1, P))
-            cl = jnp.repeat(probe, S, axis=1)  # [B, P*S]
+            cl = jnp.repeat(probe, S, axis=1)
             f1 = cl * Cmax + segb + a1
             f2 = cl * Cmax + segb + a2
             cand_f = jnp.concatenate([f1, f2], axis=1)
-            if RESCORE == "nsur":
-                n_sur = min(NSUR, 2 * P * S)
-            else:
-                n_sur = K_TOP
+            n_sur = min(NSUR, 2 * P * S)
             if 2 * n_sur <= 2 * P * S:
                 best_s, sel = jax.lax.approx_max_k(
                     cand_s, n_sur, recall_target=0.98)
@@ -149,48 +155,48 @@ def main():
             best_f = jnp.take_along_axis(cand_f, sel, axis=1)
             slot = bslot_flat[best_f]
             slot = jnp.where(best_s > NEG_BIG / 2, slot, -1)
-            if RESCORE == "none":
-                # exact-from-affine: score = -|q-v|^2 + |q|^2 (+bf16 dot noise)
-                qns = jnp.sum(q * q, axis=1, keepdims=True)
-                dist = jnp.where(slot >= 0, qns - best_s, MASKED_DIST)
-                return dist, slot
-            rows_v = sv[jnp.maximum(slot, 0)]
-            dist = jnp.sum((rows_v - q[:, None, :]) ** 2, axis=2)
-            dist = jnp.where(slot >= 0, dist, MASKED_DIST)
+            qns = jnp.sum(q * q, axis=1, keepdims=True)
+            dist = jnp.where(slot >= 0, qns - best_s, MASKED_DIST)
+            # exact top-k over the n_sur (scores noisy only at bf16 level)
             neg_top, posn = jax.lax.top_k(-dist, K_TOP)
             return -neg_top, jnp.take_along_axis(slot, posn, axis=1)
 
         return body
 
     for B in Bs:
-        body = make_body(B)
-        jbody = jax.jit(body)
-        reps = max(1, B // B0)
-        qb = np.concatenate([
-            queries if r == 0 else
-            (queries + 0.01 * np.random.default_rng(100 + r).normal(
-                size=queries.shape)).astype(np.float32)
-            for r in range(reps)
-        ])[:B]
-        qj = jnp.asarray(qb)
-        d, i = jbody(qj, *args)
-        rec = recall_with_ties(np.asarray(i)[:B0], queries, vecs, d10, K_TOP)
+      for _round in range(2):
+        for VARIANT in VARIANTS:
+            body = make_body(B, VARIANT)
+            jbody = jax.jit(body)
+            reps = max(1, B // B0)
+            qb = np.concatenate([
+                queries if r == 0 else
+                (queries + 0.01 * np.random.default_rng(100 + r).normal(
+                    size=queries.shape)).astype(np.float32)
+                for r in range(reps)
+            ])[:B]
+            qj = jnp.asarray(qb)
+            d, i = jbody(qj, *args)
+            rec = recall_with_ties(
+                np.asarray(i)[:B0], queries, vecs, d10, K_TOP)
 
-        @partial(jax.jit, static_argnames=("L",))
-        def loop(c, qj, *args, L, body=body):
-            def step(c, _):
-                d, i = body(qj + c, *args)
-                return c + d[0, 0] * 1e-30, None
-            c, _ = jax.lax.scan(step, c, None, length=L)
-            return c
+            @partial(jax.jit, static_argnames=("L",))
+            def loop(c, qj, *args, L, body=body):
+                def step(c, _):
+                    d, i = body(qj + c, *args)
+                    return c + d[0, 0] * 1e-30, None
+                c, _ = jax.lax.scan(step, c, None, length=L)
+                return c
 
-        res = {}
-        for L in (LO, HI):
-            res[L] = wall(lambda L=L: loop(jnp.float32(0), qj, *args, L=L)) * 1e3
-        dms = (res[HI] - res[LO]) / (HI - LO)
-        w = wall(lambda: jbody(qj, *args)) * 1e3
-        print(f"B={B:6d}: device {dms:8.2f} ms = {B/dms*1e3:12,.0f} QPS  "
-              f"wall/call {w:7.1f} ms  true recall {rec:.4f}", flush=True)
+            res = {}
+            for L in (LO, HI):
+                res[L] = wall(
+                    lambda L=L: loop(jnp.float32(0), qj, *args, L=L)) * 1e3
+            dms = (res[HI] - res[LO]) / (HI - LO)
+            w = wall(lambda: jbody(qj, *args)) * 1e3
+            print(f"{VARIANT:10s} B={B:6d}: device {dms:8.2f} ms = "
+                  f"{B/dms*1e3:12,.0f} QPS  wall/call {w:7.1f} ms  "
+                  f"true recall {rec:.4f}", flush=True)
 
 
 if __name__ == "__main__":

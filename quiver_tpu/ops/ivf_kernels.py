@@ -538,9 +538,17 @@ def _einsum_candidates(
         # [BP, Cmax] slot gather is needed — slots resolve only for the
         # n_sur finalists.
         probe = flat_c.reshape(B, P)
-        rows = jnp.where(
-            in_cap_orig[:, None], scores[flat_c, col_orig], NEG_BIG
-        ).reshape(B, P * S, W)
+        col_b = col_orig.reshape(B, P)
+        in_cap_b = in_cap_orig.reshape(B, P)
+        # per-probe regroup: P gathers of B big rows each (measured ~15%
+        # faster than one BP-row gather — fewer rows in flight per op)
+        parts = [
+            jnp.where(
+                in_cap_b[:, j:j + 1],
+                scores[probe[:, j], col_b[:, j]], NEG_BIG)
+            for j in range(P)
+        ]
+        rows = jnp.stack(parts, axis=1).reshape(B, P * S, W)
         m1 = jnp.max(rows, axis=2)
         a1 = jnp.argmax(rows, axis=2).astype(jnp.int32)
         lane = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 2)
