@@ -59,11 +59,14 @@ def main():
         return (time.perf_counter() - t0) / depth
 
     configs = [
-        dict(rescore=False, n_probe=4, q_cap_factor=2, seg_width=32),
-        dict(rescore=False, n_probe=4, q_cap_factor=4, seg_width=32),
-        dict(rescore=False, n_probe=4, q_cap_factor=2, seg_width=64),
-        dict(rescore=False, n_probe=8, q_cap_factor=2, seg_width=32),
-        dict(rescore=True, n_probe=8, q_cap_factor=2, seg_width=32),
+        dict(rescore=False, n_probe=4, q_cap_factor=2, seg_width=32,
+             formulation="einsum"),
+        dict(rescore=False, n_probe=4, q_cap_factor=2, seg_width=32,
+             formulation="fused"),
+        dict(rescore=False, n_probe=8, q_cap_factor=2, seg_width=32,
+             formulation="fused"),
+        dict(rescore=False, n_probe=4, q_cap_factor=2, seg_width=32,
+             formulation="fused"),
     ]
     eng = make_engine()
     for cfg in configs:

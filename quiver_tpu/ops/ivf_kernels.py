@@ -214,7 +214,7 @@ def balance_assignment(
     static_argnames=(
         "metric", "k", "n_probe", "q_cap", "compute_dtype", "oversample",
         "probe_approx", "probe_sel_approx", "formulation", "seg_width",
-        "rescore",
+        "rescore", "fused_interpret",
     ),
 )
 def ivf_query(
@@ -239,6 +239,7 @@ def ivf_query(
     formulation: str = "einsum",
     seg_width: int | None = 32,
     rescore: bool = True,
+    fused_interpret: bool = False,
 ):
     """Pruned batched search. Returns (dist f32[B, k], slot i32[B, k]) with
     exact f32 distances, -1 for empty.
@@ -336,7 +337,15 @@ def ivf_query(
     sorted_c = flat_c[order]
     b_of = (order // P).astype(jnp.int32)
 
-    if formulation == "pairs":
+    if formulation == "fused":
+        best_s, best_slot = _fused_candidates(
+            q, c_dots, c_aff, probe,
+            blocks_t, block_slot, block_rns, block_keep, centroids,
+            metric=metric, k=k, compute_dtype=compute_dtype,
+            oversample=oversample, probe_approx=probe_approx,
+            seg_width=seg_width or 32, interpret=fused_interpret,
+        )
+    elif formulation == "pairs":
         best_s, best_slot = _pairs_candidates(
             q, centroids, c_dots, c_aff, probe, order, sorted_c, b_of,
             blocks_t, block_slot, block_rns, block_inv_norms, block_keep,
@@ -590,4 +599,119 @@ def _einsum_candidates(
         best_s, sel = jax.lax.top_k(cand_s, n_sur)
     best_slot = jnp.take_along_axis(cand_slot, sel, axis=1)
     best_slot = jnp.where(best_s > NEG_BIG, best_slot, -1)
+    return best_s, best_slot
+
+
+def _fused_candidates(
+    q, c_dots, c_aff, probe,
+    blocks_t, block_slot, block_rns, block_keep, centroids,
+    *, metric, k, compute_dtype, oversample, probe_approx, seg_width,
+    interpret=False,
+):
+    """Pallas fused candidate stage (ops/ivf_pallas.py): per-pair block
+    scoring + windowed top-2 + query-major scatter in ONE kernel — the
+    score tensor never reaches HBM and the cluster->query regroup happens
+    as VMEM stores. Euclidean family and dot-product only (cosine's
+    row-scale epilogue can't defer outside the window argmax); the
+    per-pair affine constant (caff / q.c) is added AFTER unpacking, since
+    it cannot change any within-pair window ranking."""
+    from quiver_tpu.ops.ivf_pallas import (
+        LANES,
+        R_WIN,
+        WIN,
+        fused_block_topw,
+        unpack_keys,
+    )
+
+    B, d = q.shape
+    K, _, Cmax = blocks_t.shape
+    P = probe.shape[1]
+    S = Cmax // WIN
+    TQ = 32
+
+    # chunking: BPc ~ 16k pairs keeps the accumulator + qp inside VMEM
+    Bc = max(1, min(B, 16384 // P))
+    nchunks = B // Bc
+    BPc = Bc * P
+    BPcp = BPc + TQ
+
+    ALIGN = 8  # Mosaic: dynamic sublane offsets must be 8-aligned
+    probe_c = probe.reshape(nchunks, BPc)
+    order = jnp.argsort(probe_c, axis=1, stable=True)
+    sorted_c = jnp.take_along_axis(probe_c, order, axis=1)
+    starts0 = jax.vmap(
+        lambda row: jnp.searchsorted(
+            row, jnp.arange(K + 1, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
+    )(sorted_c)  # [nchunks, K+1] unpadded CSR
+    counts = starts0[:, 1:] - starts0[:, :-1]  # [nchunks, K]
+    pc = -(-counts // ALIGN) * ALIGN  # aligned group sizes
+    starts = jnp.concatenate(
+        [jnp.zeros((nchunks, 1), jnp.int32),
+         jnp.cumsum(pc, axis=1, dtype=jnp.int32)], axis=1)
+    # static padded capacity: worst case every group pads ALIGN-1 rows
+    BPsp = BPc + (ALIGN - 1) * K + TQ
+    BPsp = -(-BPsp // ALIGN) * ALIGN
+
+    # build qp/pair_pos directly in padded layout: padded row j of chunk c
+    # belongs to group g = searchsorted(starts, j); real rows map back to
+    # the sorted pair at starts0[g] + (j - starts[g])
+    jj = jnp.arange(BPsp, dtype=jnp.int32)
+
+    def chunk_maps(st_row, st0_row, cnt_row):
+        g = (
+            jnp.searchsorted(st_row[1:], jj, side="right")
+        ).astype(jnp.int32)
+        gc = jnp.minimum(g, K - 1)
+        o = jj - st_row[gc]
+        real = (o < cnt_row[gc]) & (g < K)
+        si = jnp.where(real, st0_row[gc] + jnp.minimum(o, cnt_row[gc] - 1), 0)
+        return real, si
+
+    real, si = jax.vmap(chunk_maps)(starts, starts0, counts)
+    b_local = jnp.take_along_axis(
+        (order // P).astype(jnp.int32), si, axis=1)
+    src_c = jnp.take_along_axis(sorted_c, si, axis=1)
+    q_c = q.reshape(nchunks, Bc, d)
+    qp = jnp.take_along_axis(q_c, b_local[:, :, None], axis=1)
+    if metric in (DistanceType.EUCLIDEAN, DistanceType.SQUARED_EUCLIDEAN):
+        qp = qp - centroids[src_c]
+        bias = jnp.where(block_keep, -block_rns, NEG_BIG)
+        scale = 2.0
+        caff_mat = jnp.take_along_axis(c_aff, probe, axis=1)  # [B, P]
+    else:  # DOT_PRODUCT
+        bias = jnp.where(block_keep, 0.0, NEG_BIG)
+        scale = 1.0
+        caff_mat = jnp.take_along_axis(c_dots, probe, axis=1)
+    qp = jnp.where(real[:, :, None], qp, 0.0).astype(compute_dtype)
+    pair_pos = jnp.where(
+        real, jnp.take_along_axis(order.astype(jnp.int32), si, axis=1),
+        BPc,  # dump row for pad pairs (dropped below; never stored anyway)
+    )
+
+    BPout = BPc + 8  # scatter-target space: real pairs + a dump row pad
+    acc = fused_block_topw(
+        starts.reshape(-1),
+        jnp.pad(counts, ((0, 0), (0, 1))).reshape(-1),
+        pair_pos.reshape(-1), qp,
+        blocks_t.astype(compute_dtype), bias,
+        K=K, Cmax=Cmax, BPout=BPout, TQ=TQ, scale=scale,
+        interpret=interpret,
+    )  # i32[nchunks, BPout, LANES]
+    acc = acc[:, :BPc].reshape(B, P, LANES)
+    score, pos, valid = unpack_keys(acc)
+    scores = jnp.where(
+        valid, score + caff_mat[:, :, None], NEG_BIG
+    ).reshape(B, P * LANES)
+    fpos = (probe[:, :, None] * Cmax + pos).reshape(B, P * LANES)
+
+    n_sur = min(k * oversample, P * R_WIN * S)
+    if probe_approx is not None and 2 * n_sur <= P * LANES:
+        best_s, sel = jax.lax.approx_max_k(
+            scores, n_sur, recall_target=probe_approx)
+    else:
+        best_s, sel = jax.lax.top_k(scores, n_sur)
+    best_f = jnp.take_along_axis(fpos, sel, axis=1)
+    best_slot = block_slot.reshape(-1)[best_f]
+    best_slot = jnp.where(best_s > NEG_BIG / 2, best_slot, -1)
     return best_s, best_slot

@@ -260,3 +260,39 @@ def test_ivf_topology_sidecar_roundtrip(tmp_path):
     r = c2.search(SearchRequest(vector=vecs[3], top_k=1))
     assert r.results[0].id == "v3"
     db2.close()
+
+
+def test_fused_formulation_matches_einsum():
+    """The Pallas fused candidate stage (interpret mode on CPU) agrees
+    with the einsum stage on final results (ops/ivf_pallas.py)."""
+    import jax.numpy as jnp
+
+    from quiver_tpu.core.store import VectorStore
+
+    rng = np.random.default_rng(5)
+    n, dim, k = 8192, 32, 10
+    vecs = (rng.normal(size=(n, dim)) + 2.0).astype(np.float32)
+    q = (vecs[:24] + 0.05 * rng.normal(size=(24, dim))).astype(np.float32)
+    for metric in ("euclidean", "dot_product"):
+        got = {}
+        for form in ("einsum", "fused"):
+            store = VectorStore(dim=dim, metric=metric, capacity=n)
+            store.add_batch([f"v{i}" for i in range(n)], vecs)
+            eng = IVFIndex(store, config=IVFConfig(
+                n_clusters=16, n_probe=8, build_threshold=256,
+                formulation=form, rescore=True))
+            eng.build()
+            assert eng._block_slot.shape[1] % 128 == 0
+            got[form] = eng.search_slots(q, k)
+        d_e, i_e = got["einsum"]
+        d_f, i_f = got["fused"]
+        # same exact-rescored results for overlapping candidate sets;
+        # allow tiny divergence from window-capacity differences
+        overlap = np.mean([
+            len(set(i_e[b]) & set(i_f[b])) / k for b in range(len(q))
+        ])
+        assert overlap >= 0.9, (metric, overlap)
+        sel = i_e == i_f
+        np.testing.assert_allclose(
+            np.where(sel, d_e, 0), np.where(sel, d_f, 0),
+            rtol=1e-4, atol=1e-4)
