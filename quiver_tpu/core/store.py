@@ -50,8 +50,8 @@ class StoreDeviceView:
 
 @jax.jit
 def _scatter_rows(vectors, valid, slots, new_vecs, new_valid):
-    vectors = vectors.at[slots].set(new_vecs)
-    valid = valid.at[slots].set(new_valid)
+    vectors = vectors.at[slots].set(new_vecs, mode="drop")
+    valid = valid.at[slots].set(new_valid, mode="drop")
     ns = norms_sq(vectors)
     return vectors, valid, ns, inv_norms(ns)
 
@@ -318,14 +318,19 @@ class VectorStore:
                 self._pending_slots.clear()
             elif self._pending_slots:
                 slots = np.unique(np.asarray(self._pending_slots, dtype=np.int64))
-                new_vecs = jnp.asarray(self._np_vectors[slots])
-                new_valid = jnp.asarray(self._np_valid[slots])
+                # pad the scatter to a pow2 row count: a fresh index shape
+                # per call is a fresh XLA program (~seconds of remote
+                # compile each on a tunnel link); OOB pad rows drop
+                m = _next_pow2(max(len(slots), 8))
+                pslots = np.full(m, self.capacity, np.int64)
+                pslots[: len(slots)] = slots
+                safe = np.minimum(pslots, self.capacity - 1)
                 v, va, ns, inv = _scatter_rows(
                     self._device.vectors,
                     self._device.valid,
-                    jnp.asarray(slots),
-                    new_vecs,
-                    new_valid,
+                    jnp.asarray(pslots),
+                    jnp.asarray(self._np_vectors[safe]),
+                    jnp.asarray(self._np_valid[safe]),
                 )
                 self._generation += 1
                 self._device = StoreDeviceView(

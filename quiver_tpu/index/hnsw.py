@@ -71,93 +71,91 @@ def _pad_batch_pow2(q: np.ndarray, min_rows: int = 8):
 from functools import partial as _partial
 
 
-@_partial(jax.jit, static_argnames=("kk", "metric", "compute_dtype"))
-def _intra_batch_candidates(q, batch_slots, member, cand_d, cand_i, *,
-                            kk, metric, compute_dtype):
-    """Exact kNN among the insert batch itself, merged into the beam's
-    candidate set (one [B, B] MXU matmul; batch-mates are invisible to the
-    frozen-graph search)."""
-    from quiver_tpu.ops.distance import pairwise_distance
-
-    B = q.shape[0]
-    dist = pairwise_distance(q, q, metric, compute_dtype=compute_dtype)
-    eye = jnp.eye(B, dtype=bool)
-    ok = member[None, :] & member[:, None] & ~eye
-    dist = jnp.where(ok, dist, MASKED_DIST)
-    neg_top, idx = jax.lax.top_k(-dist, kk)
-    intra_d = -neg_top
-    intra_i = jnp.where(intra_d < MASKED_DIST, batch_slots[idx], -1)
-    return (
-        jnp.concatenate([cand_d, intra_d], axis=1),
-        jnp.concatenate([cand_i, intra_i], axis=1),
-    )
-
-
 @_partial(
     jax.jit,
-    static_argnames=("metric", "efc", "max_iters", "kk", "intra",
-                     "compute_dtype", "u_budget", "e_budget", "c_lvls"),
-    donate_argnums=(8, 9),  # connect-layer adjacency + fill stacks
+    static_argnames=("metric", "efc", "compute_dtype", "b_ls",
+                     "u_budgets", "e_budget", "c_lvls", "tile", "approx"),
+    donate_argnums=(7, 8),  # connect-layer adjacency + fill stacks
 )
 def _fused_build_step(
-    q,  # f32[B, d] padded insert batch
+    q,  # f32[B, d] insert batch (pow2-padded)
     slots,  # i32[B] store slots (-1 pad)
     levels,  # i32[B] sampled levels (-1 pad)
-    entry,  # i32[] current entry point
     vectors, valid,  # store device view
-    r_adjs, r_poss,  # routing layers, top-down (tuples)
+    norms_sq, inv_norms,  # store row stats (flat-scan inputs)
     c_adjs, c_fills, c_poss,  # connect layers, top-down .. level 0 (tuples)
     *,
-    metric, efc, max_iters, kk, intra, compute_dtype,
-    u_budget, e_budget,
+    metric, efc, compute_dtype,
+    b_ls,  # static tuple: compacted sub-batch size per connect layer
+    u_budgets, e_budget,
     c_lvls,  # static tuple: the level number of each connect layer
+    tile,  # static flat-scan tile (divides store capacity)
+    approx,  # static approx-recall target of the candidate scan (None=exact)
 ):
-    """ONE device program for a whole insert batch: greedy routing through
-    the layers above the batch, then per connected level — beam search +
-    intra-batch kNN + diversity selection + forward/reverse edge commit
-    with on-device overflow re-selection (ops.hnsw_kernels.connect_level).
+    """ONE device program for a whole insert batch: per connected level,
+    masked flat-scan kNN candidates + diversity selection + forward/
+    reverse edge commit with on-device overflow re-selection
+    (ops.hnsw_kernels.connect_level).
 
-    The previous formulation dispatched ~8 programs and synced twice per
-    level per batch; on a remote-dispatch link those round-trips — not
-    device compute — capped build throughput (VERDICT.md weak #4). This
-    runs the entire batch with ZERO host syncs; the spill counter stays on
-    device and is only fetched by metrics."""
+    Construction candidates come from the masked flat scan, not beam
+    search: on TPU the MXU scan of a whole level costs milliseconds per
+    batch, while a beam search pays hundreds of serial gather+merge
+    iterations (measured 105 s per 8192-batch at N=20k — the VPU bitonic
+    merges, not dispatch, dominated). Scan candidates are also
+    at-least-as-good as beam approximations, so graph quality can only
+    improve; batch-mates are naturally visible (the store holds them
+    already). Greedy routing through upper layers is a query-time concept
+    — construction needs no entry descent at all.
+
+    Each level works on a COMPACTED sub-batch: the batch sorts by level
+    (descending, on device — ONE host upload per batch instead of one
+    per level, which dominated on the remote-dispatch tunnel), so the
+    members of level l are a prefix; ``b_ls`` fixes a static pow2 prefix
+    size per level (2x the p=0.25 expectation — the caller re-pads on
+    the astronomically-rare overflow). The candidate depth caps at ~3x
+    the degree: efC-deep candidate lists made select_neighbors'
+    [B, C, C] pairwise block + C-step scan the next bottleneck. Zero
+    host syncs; the spill counter stays on device and is only fetched by
+    metrics."""
     from quiver_tpu.ops.hnsw_kernels import connect_level
+    from quiver_tpu.ops.scan import flat_scan_topk
 
-    B = q.shape[0]
-    entries = jnp.broadcast_to(entry, (B,))
-    for adj, pos in zip(r_adjs, r_poss):
-        _, e2 = greedy_descent(
-            q, entries, vectors, valid, adj, pos,
-            metric=metric, compute_dtype=compute_dtype,
-        )
-        entries = jnp.where(e2 >= 0, e2, entries)
+    # sort the batch by level, descending: level-l members form a prefix
+    order = jnp.argsort(-levels)
+    q_s = q[order]
+    slots_s = slots[order]
+    levels_s = levels[order]
 
     out_adjs, out_fills = [], []
     spill = jnp.int32(0)
-    for adj, fill, pos, lvl in zip(c_adjs, c_fills, c_poss, c_lvls):
+    for b_l, adj, fill, pos, lvl, u_b in zip(
+        b_ls, c_adjs, c_fills, c_poss, c_lvls, u_budgets
+    ):
+        q_l = q_s[:b_l]
+        in_level = levels_s[:b_l] >= lvl
+        slots_l = jnp.where(in_level, slots_s[:b_l], -1)
         deg = adj.shape[1]
-        ef = max(efc, deg)
-        cand_d, cand_i = beam_search(
-            q, entries, vectors, valid, adj, pos,
-            metric=metric, ef=ef, max_iters=max_iters,
-            compute_dtype=compute_dtype,
+        # candidate depth: ~3x the degree (select_neighbors cost)
+        kc = min(max(efc, deg), _pow2(3 * deg, lo=32))
+        # kNN among this level's members (self excluded post-hoc)
+        eligible = (pos >= 0) & valid
+        cand_d, cand_i = flat_scan_topk(
+            q_l, vectors, eligible, None, norms_sq, inv_norms,
+            metric=metric, k=kc + 1, tile=tile,
+            compute_dtype=compute_dtype, approx_recall=approx,
         )
-        connect = (levels >= lvl) & (slots >= 0)
-        if intra:
-            cand_d, cand_i = _intra_batch_candidates(
-                q, slots, connect, cand_d, cand_i,
-                kk=kk, metric=metric, compute_dtype=compute_dtype,
-            )
+        self_hit = cand_i == slots_l[:, None]
+        cand_d = jnp.where(self_hit, MASKED_DIST, cand_d)
+        cand_i = jnp.where(self_hit, -1, cand_i)
+        connect = slots_l >= 0
         sel_i, _sel_d = select_neighbors(
-            q, cand_i, cand_d, vectors, metric=metric, m=deg,
+            q_l, cand_i, cand_d, vectors, metric=metric, m=deg,
             compute_dtype=compute_dtype,
         )
         sel_i = jnp.where(connect[:, None], sel_i, -1)
-        entries = jnp.where(cand_i[:, 0] >= 0, cand_i[:, 0], entries)
         adj, fill, sp = connect_level(
-            adj, fill, pos, vectors, slots, connect, sel_i,
-            metric=metric, u_budget=u_budget, e_budget=e_budget,
+            adj, fill, pos, vectors, slots_l, connect, sel_i,
+            metric=metric, u_budget=u_b, e_budget=e_budget,
             compute_dtype=compute_dtype,
         )
         out_adjs.append(adj)
@@ -180,14 +178,14 @@ class HNSWConfig:
     #: the per-round dispatch overhead (dominant on remote-dispatch links;
     #: ~8 device calls + 2 host syncs per connected level per round).
     build_batch: int = 4096
-    #: merge exact intra-batch kNN candidates into neighbor selection —
-    #: batch members search the FROZEN graph and would otherwise be blind
-    #: to each other, which degrades recall as batch/corpus ratio grows
-    intra_batch_links: bool = True
     #: visited-set structure for layer-0 beam search: "ring" (O(ef) VMEM
     #: rolling window) or "bitmap" (true O(N) per-query bitset — the
     #: reference VisitedList's semantics, ~cap/8 bytes x batch of HBM)
     visited: str = "ring"
+    #: recall target of the construction candidate scan's partial top-k
+    #: (None = exact full sort; 0.95 trades invisible candidate loss at
+    #: efC=200 depth for the much cheaper TPU partial reduce)
+    build_approx: Optional[float] = 0.95
     seed: int = 42
 
 
@@ -279,8 +277,16 @@ class _Layer:
             self._pos_pending.clear()
         elif self._pos_pending:
             idx = np.unique(np.asarray(self._pos_pending, np.int64))
-            self._pos_dev = self._pos_dev.at[jnp.asarray(idx)].set(
-                jnp.asarray(self.pos[idx])
+            # pad the scatter to a pow2 length: a fresh index shape per
+            # batch means a fresh XLA program — ~6.7 s of remote compile
+            # per insert batch (profiled; the device work is ~0.25 s)
+            m = _pow2(len(idx), lo=8)
+            pidx = np.full(m, len(self.pos), np.int64)  # OOB -> dropped
+            pidx[: len(idx)] = idx
+            vals = np.zeros(m, np.int32)
+            vals[: len(idx)] = self.pos[idx]
+            self._pos_dev = self._pos_dev.at[jnp.asarray(pidx)].set(
+                jnp.asarray(vals), mode="drop"
             )
             self._pos_pending.clear()
         return self._adj_dev, self._pos_dev
@@ -436,45 +442,51 @@ class HNSWIndex:
             return
 
         dev = self.store.device_view()
-        q_np, real_b = _pad_batch_pow2(vecs)
-        q = jnp.asarray(q_np)
-        B = q_np.shape[0]
-        pad_levels = np.full(B, -1, np.int32)
-        pad_levels[:real_b] = levels
-        pad_slots = np.full(B, -1, np.int32)
-        pad_slots[:real_b] = slots
+        B = _pow2(len(slots))
+        d = vecs.shape[1]
 
-        # greedy descent through layers above the batch's top level, then
-        # beam search + connect at each layer <= node level (hnsw.go:337-468)
-        # — the WHOLE batch runs as ONE fused device program with zero host
-        # syncs (_fused_build_step); the driver of build throughput on
-        # remote links is dispatch count, not device compute.
+        # per layer <= node level: masked-scan kNN candidates + select +
+        # connect (hnsw.go:337-468's outcome, not its algorithm) — the
+        # WHOLE batch runs as ONE fused device program with zero host
+        # syncs, on per-level COMPACTED sub-batches (_fused_build_step
+        # docstring).
         batch_max = min(int(levels.max(initial=0)), self.current_max_level)
-        r_adjs, r_poss = [], []
-        for l in range(self.current_max_level, batch_max, -1):
-            adj_dev, pos_dev = self._layer(l).device(self.store.capacity)
-            r_adjs.append(adj_dev)
-            r_poss.append(pos_dev)
         c_layers = [self._layer(l) for l in range(batch_max, -1, -1)]
         c_adjs, c_fills, c_poss = [], [], []
-        for layer in c_layers:
+        b_ls, u_budgets = [], []
+        for layer, l in zip(c_layers, range(batch_max, -1, -1)):
             adj_dev, pos_dev = layer.device(self.store.capacity)
             c_adjs.append(adj_dev)
             c_fills.append(layer.device_fill())
             c_poss.append(pos_dev)
+            n_l = int((levels >= l).sum())
+            # deterministic pow2 prefix size: 2x the expected count at
+            # p=0.25 levels (re-pads on overflow, practically never)
+            B_l = B if l == 0 else max(8, B >> max(2 * l - 1, 0))
+            while B_l < n_l:
+                B_l *= 2
+            b_ls.append(B_l)
+            u_budgets.append(_pow2(max(B_l // 2, 64)))
+        cap = self.store.capacity
+        tile = cap if cap <= 32768 else 32768
+        q_pad = np.zeros((B, d), np.float32)
+        q_pad[: len(slots)] = vecs
+        s_pad = np.full(B, -1, np.int32)
+        s_pad[: len(slots)] = slots
+        l_pad = np.full(B, -1, np.int32)
+        l_pad[: len(slots)] = levels
         out_adjs, out_fills, spill = _fused_build_step(
-            q, jnp.asarray(pad_slots), jnp.asarray(pad_levels),
-            jnp.int32(self.entry_point), dev.vectors, dev.valid,
-            tuple(r_adjs), tuple(r_poss),
+            jnp.asarray(q_pad), jnp.asarray(s_pad), jnp.asarray(l_pad),
+            dev.vectors, dev.valid, dev.norms_sq, dev.inv_norms,
             tuple(c_adjs), tuple(c_fills), tuple(c_poss),
             metric=self._metric(), efc=c.ef_construction,
-            max_iters=int(1.5 * max(c.ef_construction, c.m0)) + 8,
-            kk=min(_pow2(2 * c.m0, lo=16), B),
-            intra=bool(c.intra_batch_links),
             compute_dtype=self.compute_dtype,
-            u_budget=_pow2(max(B // 2, 64)),
+            b_ls=tuple(b_ls),
+            u_budgets=tuple(u_budgets),
             e_budget=_pow2(2 * c.m0, lo=32),
             c_lvls=tuple(range(batch_max, -1, -1)),
+            tile=tile,
+            approx=c.build_approx,
         )
         for layer, adj_new, fill_new in zip(c_layers, out_adjs, out_fills):
             layer._adj_dev = adj_new
@@ -486,9 +498,9 @@ class HNSWIndex:
         )
 
         # entry point promotion
-        best = int(pad_levels.max(initial=-1))
+        best = int(levels.max(initial=-1))
         if best > self.current_max_level:
-            self.entry_point = int(pad_slots[int(np.argmax(pad_levels))])
+            self.entry_point = int(slots[int(np.argmax(levels))])
             self.current_max_level = best
 
     def _bootstrap(self, slots: np.ndarray, vecs: np.ndarray,

@@ -330,12 +330,20 @@ class IVFIndex:
         if self._keep_pending:
             # last write wins per position (scatter order with duplicate
             # indices is undefined; insert-then-delete of one slot in the
-            # same window would race otherwise)
+            # same window would race otherwise). Scatter pads to pow2 so
+            # the XLA program shape is stable (OOB pad rows drop).
             last = {(r, c): v for r, c, v in self._keep_pending}
-            rows = jnp.asarray(np.asarray([rc[0] for rc in last], np.int32))
-            cols = jnp.asarray(np.asarray([rc[1] for rc in last], np.int32))
-            vals = jnp.asarray(np.asarray(list(last.values()), bool))
-            self._block_keep = self._block_keep.at[rows, cols].set(vals)
+            m = _pow2(max(len(last), 8))
+            K = self._block_keep.shape[0]
+            rows = np.full(m, K, np.int32)
+            cols = np.zeros(m, np.int32)
+            vals = np.zeros(m, bool)
+            rows[: len(last)] = [rc[0] for rc in last]
+            cols[: len(last)] = [rc[1] for rc in last]
+            vals[: len(last)] = list(last.values())
+            self._block_keep = self._block_keep.at[
+                jnp.asarray(rows), jnp.asarray(cols)
+            ].set(jnp.asarray(vals), mode="drop")
             self._keep_pending = []
         return self._block_keep
 
