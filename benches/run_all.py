@@ -6,6 +6,7 @@ import sys
 
 MODULES = [
     "benches.bench_hnsw",
+    "benches.bench_ivf",
     "benches.bench_hybrid",
     "benches.bench_filtered",
     "benches.bench_persistence",
