@@ -27,6 +27,14 @@ def main():
          strategy=idx.last_strategy,
          exact_threshold=idx.selector.exact_threshold)
 
+    # IVF-backed hybrid (ann_backend="ivf"): the TPU-first configuration
+    idx2 = HybridIndex(store, compute_dtype=jnp.bfloat16, ann_backend="ivf")
+    idx2.on_insert(slots, vecs)
+    idx2.search_slots(queries, K)
+    ms = pipelined_ms(lambda: idx2.search_slots(queries, K), depth=4)
+    emit(f"hybrid adaptive QPS (ivf backend), N={N} d={D}", B / (ms / 1e3),
+         "qps", strategy=idx2.last_strategy)
+
 
 if __name__ == "__main__":
     main()

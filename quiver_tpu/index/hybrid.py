@@ -168,27 +168,43 @@ class HybridIndex:
         compute_dtype=jnp.float32,
         exact_factory=None,
         ann_factory=None,
+        ann_backend: str = "hnsw",
+        ivf_config=None,
         **hnsw_overrides,
     ):
         """``exact_factory`` / ``ann_factory`` inject the two engines — the
         sharded hybrid passes mesh-backed variants; defaults are the
-        single-chip ExactIndex + HNSWIndex."""
+        single-chip ExactIndex + HNSWIndex.
+
+        ``ann_backend`` picks the ANN side: "hnsw" (reference parity) or
+        "ivf" (the TPU-first pruned-scan engine — at serving batch sizes
+        it beats the graph by two orders of magnitude on QPS at equal
+        recall, index/ivf.py). The selector semantics are unchanged; the
+        strategy label stays "hnsw" for reference-stat parity."""
         self.store = store
         self.exact = (
             exact_factory(store)
             if exact_factory is not None
             else ExactIndex(store, compute_dtype=compute_dtype)
         )
-        self.hnsw = (
-            ann_factory(store)
-            if ann_factory is not None
-            else HNSWIndex(
+        self.ann_backend = ann_backend
+        if ann_factory is not None:
+            self.hnsw = ann_factory(store)
+        elif ann_backend == "ivf":
+            from quiver_tpu.index.ivf import IVFIndex
+
+            self.hnsw = IVFIndex(
+                store, config=ivf_config, compute_dtype=compute_dtype
+            )
+        elif ann_backend == "hnsw":
+            self.hnsw = HNSWIndex(
                 store,
                 config=hnsw_config,
                 compute_dtype=compute_dtype,
                 **hnsw_overrides,
             )
-        )
+        else:
+            raise ValueError(f"unknown ann_backend {ann_backend!r}")
         self.selector = AdaptiveStrategySelector(adaptive_config)
         self.last_strategy = EXACT
         self._per_strategy_counts = {EXACT: 0, HNSW: 0}

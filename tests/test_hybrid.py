@@ -207,3 +207,29 @@ def test_fluent_strategy_and_stats():
     assert resp.metadata.engine_stats is not None
     with pytest.raises(ValueError, match="unknown strategy"):
         c.fluent_search(vecs[0]).with_strategy("bogus").execute()
+
+
+def test_hybrid_ivf_backend_routes_and_matches_exact():
+    """ann_backend="ivf": the hybrid's ANN side is the IVF engine; routed
+    queries agree with the exact oracle at high n_probe."""
+    from quiver_tpu.index.hybrid import HybridIndex
+    from quiver_tpu.index.ivf import IVFConfig
+
+    rng = np.random.default_rng(11)
+    n, dim, k = 4096, 32, 10
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    store = VectorStore(dim=dim, metric="euclidean", capacity=n)
+    idx = HybridIndex(
+        store, ann_backend="ivf",
+        ivf_config=IVFConfig(n_probe=32, build_threshold=512),
+        adaptive_config=AdaptiveConfig(
+            exploration_factor=0.0, initial_exact_threshold=100),
+    )
+    slots = store.add_batch([f"v{i}" for i in range(n)], vecs)
+    idx.on_insert(slots, vecs)
+    q = (vecs[:16] + 0.05 * rng.normal(size=(16, dim))).astype(np.float32)
+    d, s = idx.search_slots(q, k)
+    assert idx.last_strategy == "hnsw"  # strategy label is parity-stable
+    de, se = idx.exact.search_slots(q, k)
+    rec = np.mean([len(set(s[b]) & set(se[b])) / k for b in range(16)])
+    assert rec >= 0.9
