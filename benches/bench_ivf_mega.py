@@ -13,7 +13,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from benches.profile_ragged2 import clustered, get_build
+from benches.ivf_lab import clustered, get_build
 from benches.truth import recall_with_ties
 
 N, D, K_TOP = 1_000_000, 128, 10

@@ -608,13 +608,15 @@ def _fused_candidates(
     *, metric, k, compute_dtype, oversample, probe_approx, seg_width,
     interpret=False,
 ):
-    """Pallas fused candidate stage (ops/ivf_pallas.py): per-pair block
-    scoring + windowed top-2 + query-major scatter in ONE kernel — the
-    score tensor never reaches HBM and the cluster->query regroup happens
-    as VMEM stores. Euclidean family and dot-product only (cosine's
-    row-scale epilogue can't defer outside the window argmax); the
-    per-pair affine constant (caff / q.c) is added AFTER unpacking, since
-    it cannot change any within-pair window ranking."""
+    """Pallas fused candidate stage (ops/ivf_pallas.py): in-VMEM query
+    gather + per-pair block scoring + windowed top-4 + query-major
+    scatter in ONE kernel — the score tensor never reaches HBM, and
+    neither the query rows nor the centroid rows are ever gathered
+    through XLA's ~110 ns/row HBM gather. Euclidean family and
+    dot-product only (cosine's row-scale epilogue can't defer outside
+    the window argmax); the per-pair affine constant (caff / q.c) is
+    added AFTER unpacking, since it cannot change any within-pair window
+    ranking."""
     from quiver_tpu.ops.ivf_pallas import (
         LANES,
         R_WIN,
@@ -627,78 +629,39 @@ def _fused_candidates(
     K, _, Cmax = blocks_t.shape
     P = probe.shape[1]
     S = Cmax // WIN
-    TQ = 32
 
-    # chunking: BPc ~ 16k pairs keeps the accumulator + qp inside VMEM
+    # chunking: the accumulator [BPc, 128] i32 + the resident query chunk
+    # must fit VMEM
     Bc = max(1, min(B, 16384 // P))
     nchunks = B // Bc
     BPc = Bc * P
-    BPcp = BPc + TQ
 
-    ALIGN = 8  # Mosaic: dynamic sublane offsets must be 8-aligned
     probe_c = probe.reshape(nchunks, BPc)
-    order = jnp.argsort(probe_c, axis=1, stable=True)
+    order = jnp.argsort(probe_c, axis=1, stable=True).astype(jnp.int32)
     sorted_c = jnp.take_along_axis(probe_c, order, axis=1)
-    starts0 = jax.vmap(
+    starts = jax.vmap(
         lambda row: jnp.searchsorted(
             row, jnp.arange(K + 1, dtype=jnp.int32), side="left"
         ).astype(jnp.int32)
-    )(sorted_c)  # [nchunks, K+1] unpadded CSR
-    counts = starts0[:, 1:] - starts0[:, :-1]  # [nchunks, K]
-    pc = -(-counts // ALIGN) * ALIGN  # aligned group sizes
-    starts = jnp.concatenate(
-        [jnp.zeros((nchunks, 1), jnp.int32),
-         jnp.cumsum(pc, axis=1, dtype=jnp.int32)], axis=1)
-    # static padded capacity: worst case every group pads ALIGN-1 rows
-    BPsp = BPc + (ALIGN - 1) * K + TQ
-    BPsp = -(-BPsp // ALIGN) * ALIGN
+    )(sorted_c)  # [nchunks, K+1]
 
-    # build qp/pair_pos directly in padded layout: padded row j of chunk c
-    # belongs to group g = searchsorted(starts, j); real rows map back to
-    # the sorted pair at starts0[g] + (j - starts[g])
-    jj = jnp.arange(BPsp, dtype=jnp.int32)
-
-    def chunk_maps(st_row, st0_row, cnt_row):
-        g = (
-            jnp.searchsorted(st_row[1:], jj, side="right")
-        ).astype(jnp.int32)
-        gc = jnp.minimum(g, K - 1)
-        o = jj - st_row[gc]
-        real = (o < cnt_row[gc]) & (g < K)
-        si = jnp.where(real, st0_row[gc] + jnp.minimum(o, cnt_row[gc] - 1), 0)
-        return real, si
-
-    real, si = jax.vmap(chunk_maps)(starts, starts0, counts)
-    b_local = jnp.take_along_axis(
-        (order // P).astype(jnp.int32), si, axis=1)
-    src_c = jnp.take_along_axis(sorted_c, si, axis=1)
-    q_c = q.reshape(nchunks, Bc, d)
-    qp = jnp.take_along_axis(q_c, b_local[:, :, None], axis=1)
     if metric in (DistanceType.EUCLIDEAN, DistanceType.SQUARED_EUCLIDEAN):
-        qp = qp - centroids[src_c]
         bias = jnp.where(block_keep, -block_rns, NEG_BIG)
-        scale = 2.0
+        scale, sub_cent = 2.0, True
         caff_mat = jnp.take_along_axis(c_aff, probe, axis=1)  # [B, P]
     else:  # DOT_PRODUCT
         bias = jnp.where(block_keep, 0.0, NEG_BIG)
-        scale = 1.0
+        scale, sub_cent = 1.0, False
         caff_mat = jnp.take_along_axis(c_dots, probe, axis=1)
-    qp = jnp.where(real[:, :, None], qp, 0.0).astype(compute_dtype)
-    pair_pos = jnp.where(
-        real, jnp.take_along_axis(order.astype(jnp.int32), si, axis=1),
-        BPc,  # dump row for pad pairs (dropped below; never stored anyway)
-    )
 
-    BPout = BPc + 8  # scatter-target space: real pairs + a dump row pad
     acc = fused_block_topw(
-        starts.reshape(-1),
-        jnp.pad(counts, ((0, 0), (0, 1))).reshape(-1),
-        pair_pos.reshape(-1), qp,
-        blocks_t.astype(compute_dtype), bias,
-        K=K, Cmax=Cmax, BPout=BPout, TQ=TQ, scale=scale,
+        starts.reshape(-1), order.reshape(-1),
+        q.reshape(nchunks, Bc, d),
+        blocks_t.astype(compute_dtype), centroids, bias,
+        K=K, Cmax=Cmax, P=P, scale=scale, sub_cent=sub_cent,
         interpret=interpret,
-    )  # i32[nchunks, BPout, LANES]
-    acc = acc[:, :BPc].reshape(B, P, LANES)
+    )  # i32[nchunks, BPc, LANES]
+    acc = acc.reshape(B, P, LANES)
     score, pos, valid = unpack_keys(acc)
     scores = jnp.where(
         valid, score + caff_mat[:, :, None], NEG_BIG

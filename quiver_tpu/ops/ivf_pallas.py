@@ -1,26 +1,30 @@
 """Fused IVF candidate kernel (Pallas TPU).
 
-One kernel replaces the einsum -> scores-in-HBM -> regroup-gather ->
-windowed-reduce chain of ``ivf_kernels._einsum_candidates``: for every
-(query, probe) pair it scores the pair's cluster block on the MXU,
-reduces each score row to its top-2 per ``W``-lane window on the VPU
-while the scores still live in VMEM, packs (quantized score | block
-position) into one int32 key, and scatters the packed winner row straight
-into a query-major accumulator. The [*, Cmax] score tensor never reaches
-HBM, and the cluster-major -> query-major crossing happens as VMEM row
-stores instead of an XLA gather (~110 ns per gathered row on v5e — the
-single most expensive stage of the XLA formulation).
+One kernel replaces the qp-gather -> einsum -> scores-in-HBM ->
+regroup-gather -> windowed-reduce chain of
+``ivf_kernels._einsum_candidates``: for every (query, probe) pair it
+builds the query tile by VMEM row reads (the query chunk is resident —
+XLA's HBM row gathers cost a flat ~110 ns/row, which made the caller-side
+qp/centroid gathers the dominant cost), scores the pair's cluster block
+on the MXU, reduces each score row to its top-``R_WIN`` per 128-lane
+window on the VPU while the scores still live in VMEM, packs (quantized
+score | block position) into one int32 key, and scatters the packed
+winner row straight into a query-major accumulator. The [*, Cmax] score
+tensor never reaches HBM.
 
 Layout contract (built by the caller, ivf_kernels._fused_candidates):
 
 * queries are processed in ``nchunks`` chunks of ``Bc`` queries; within a
-  chunk, the Bc*P (query, probe) pairs are sorted by cluster;
-* ``starts[c*(K+1) + k]`` — first sorted-pair index of cluster k's group
-  in chunk c (classic CSR offsets, scalar-prefetched to SMEM);
-* ``pair_pos[c*BPcp + i]`` — the ORIGINAL pair index (within the chunk)
-  of sorted pair i: the scatter target, so the accumulator comes out in
-  original (query-major) pair order and ``reshape(B, P, LANES)`` needs
-  no further permutation;
+  chunk, the Bc*P (query, probe) pairs sort by cluster (stable), giving
+  the CSR offsets ``starts[c*(K+1) + k]`` and the scalar-prefetched
+  ``order`` array: ``order[c*BPc + i]`` is the ORIGINAL pair index of
+  sorted pair i. One value serves twice in-kernel: the query row is
+  ``order // P`` and the scatter target is ``order`` itself, so the
+  accumulator comes out in original (query-major) pair order and
+  ``reshape(B, P, LANES)`` needs no further permutation.
+* windows are 128 lanes (static slice granularity — Mosaic cannot split
+  the lane dim) with the top ``R_WIN`` kept per window by masked
+  full-lane max passes.
 * score keys: f32 score -> total-order int32 (``b ^ ((b>>31) &
   0x7FFFFFFF)``, an involution), low 11 bits replaced by the lane
   position inside the block (Cmax <= 2048). Quantizing the score to 21
@@ -48,31 +52,48 @@ POS_MASK = (1 << POS_BITS) - 1
 KEY_MIN = np.int32(np.iinfo(np.int32).min)
 
 
-def _kernel(starts_ref, counts_ref, pos_ref, qp_ref, blocks_ref, bias_ref,
-            acc_ref, win_ref, *, K, BPcp, BPout, Cmax, TQ, scale):
-    S = Cmax // WIN  # 128-lane windows (static slices — Mosaic cannot
-    # split the lane dim, so sub-128 windows are not expressible)
+def _kernel(starts_ref, order_ref, q_ref, blocks_ref, cents_ref, bias_ref,
+            acc_ref, win_ref, qt_ref,
+            *, K, BPc, Cmax, P, TQ, scale, sub_cent, debug):
+    S = Cmax // WIN
     c = pl.program_id(0)
     k = pl.program_id(1)
 
     @pl.when(k == 0)
     def _():
-        acc_ref[0, :, :] = jnp.full((BPout, LANES), KEY_MIN, jnp.int32)
+        acc_ref[0, :, :] = jnp.full((BPc, LANES), KEY_MIN, jnp.int32)
 
     base = c * (K + 1)
-    # group starts are 8-aligned by the caller (pad rows between groups);
-    # Mosaic requires provably-aligned dynamic sublane offsets
-    start = pl.multiple_of(starts_ref[base + k], 8)
-    count = counts_ref[base + k]
+    start = starts_ref[base + k]
+    count = starts_ref[base + k + 1] - start
     bias = bias_ref[0, 0, :]  # f32[Cmax]
 
     def tile_body(t, _):
-        off = pl.multiple_of(start + t * TQ, 8)
-        qtile = qp_ref[0, pl.ds(off, TQ), :]  # bf16[TQ, d]
+        off = start + t * TQ
+        n_rows = jnp.minimum(count - t * TQ, TQ)
+
+        # build the query tile by VMEM row reads (rows are scattered in
+        # the resident chunk; HBM gathers at the caller cost ~110 ns/row)
+        def load_row(r, _):
+            o = order_ref[c * BPc + off + r]
+            qt_ref[pl.ds(r, 1), :] = q_ref[0, pl.ds(o // P, 1), :]
+            return 0
+
+        jax.lax.fori_loop(0, n_rows, load_row, 0)
+
+        qtile = qt_ref[:, :]
+        if sub_cent:
+            qtile = qtile - cents_ref[0, 0, :][None, :]
         dots = jnp.dot(
-            qtile, blocks_ref[0, :, :], preferred_element_type=jnp.float32
+            qtile.astype(jnp.bfloat16), blocks_ref[0, :, :],
+            preferred_element_type=jnp.float32,
         )  # f32[TQ, Cmax]
         s = scale * dots + bias[None, :]
+        if debug >= 3:  # ablation: matmul only
+            win_ref[:, :] = jax.lax.bitcast_convert_type(
+                s[:, :LANES], jnp.int32)
+            acc_ref[0, 0:TQ, :] = win_ref[:, :]
+            return 0
         b = jax.lax.bitcast_convert_type(s, jnp.int32)
         key = b ^ jnp.right_shift(b, 31).astype(jnp.int32) & jnp.int32(
             0x7FFFFFFF
@@ -80,10 +101,9 @@ def _kernel(starts_ref, counts_ref, pos_ref, qp_ref, blocks_ref, bias_ref,
         lane = jax.lax.broadcasted_iota(jnp.int32, (TQ, Cmax), 1)
         keyp = (key & jnp.int32(~POS_MASK)) | (lane & jnp.int32(POS_MASK))
         # top-R_WIN per 128-lane window: R_WIN masked max passes, each a
-        # full-lane reduce over a static 128-aligned slice (supported ops
-        # only). Window capacity R_WIN*S covers k by the caller's guard.
-        # Winners assemble into one [TQ, LANES] vreg by masked lane
-        # writes (concatenating 1-lane vectors would relayout per lane).
+        # full-lane reduce over a static 128-aligned slice. Winners
+        # assemble into one [TQ, LANES] vreg by masked lane writes
+        # (concatenating 1-lane vectors would relayout per lane).
         lane_out = jax.lax.broadcasted_iota(jnp.int32, (TQ, LANES), 1)
         win = jnp.full((TQ, LANES), KEY_MIN, jnp.int32)
         for w in range(S):
@@ -95,14 +115,16 @@ def _kernel(starts_ref, counts_ref, pos_ref, qp_ref, blocks_ref, bias_ref,
                 sub = jnp.where(sub == m, KEY_MIN, sub)
         win_ref[:, :] = win  # staged so rows can be read dynamically
 
-        def row_body(r, _):
-            @pl.when(t * TQ + r < count)
-            def _():
-                po = pos_ref[c * BPcp + off + r]
-                acc_ref[0, pl.ds(po, 1), :] = win_ref[pl.ds(r, 1), :]
+        if debug >= 2:  # ablation: no scatter (fixed-row store)
+            acc_ref[0, 0:TQ, :] = win_ref[:, :]
             return 0
 
-        jax.lax.fori_loop(0, TQ, row_body, 0)
+        def store_row(r, _):
+            po = order_ref[c * BPc + off + r]
+            acc_ref[0, pl.ds(po, 1), :] = win_ref[pl.ds(r, 1), :]
+            return 0
+
+        jax.lax.fori_loop(0, n_rows, store_row, 0)
         return 0
 
     nt = pl.cdiv(count, TQ)
@@ -111,48 +133,57 @@ def _kernel(starts_ref, counts_ref, pos_ref, qp_ref, blocks_ref, bias_ref,
 
 @partial(
     jax.jit,
-    static_argnames=("K", "Cmax", "BPout", "TQ", "scale", "interpret"),
+    static_argnames=("K", "Cmax", "P", "TQ", "scale", "sub_cent",
+                     "interpret", "debug"),
 )
 def fused_block_topw(
-    starts: jax.Array,  # i32[nchunks*(K+1)] 8-aligned CSR group offsets
-    counts: jax.Array,  # i32[nchunks*(K+1)] REAL group sizes (pad excl.)
-    pair_pos: jax.Array,  # i32[nchunks*BPcp] scatter targets (orig order)
-    qp: jax.Array,  # bf16[nchunks, BPcp, d] chunk-sorted query residuals
+    starts: jax.Array,  # i32[nchunks*(K+1)] CSR group offsets per chunk
+    order: jax.Array,  # i32[nchunks*BPc] original pair index per sorted pair
+    q: jax.Array,  # f32[nchunks, Bc, d] query chunks (resident per chunk)
     blocks_t: jax.Array,  # bf16[K, d, Cmax]
+    centroids: jax.Array,  # f32[K, d]
     bias: jax.Array,  # f32[K, Cmax]  (keep ? -|v-c|^2 : -BIG)
     *,
     K: int,
     Cmax: int,
-    BPout: int,
+    P: int,
     TQ: int = 32,
     scale: float = 2.0,
+    sub_cent: bool = True,
     interpret: bool = False,
+    debug: int = 0,
 ):
-    """Packed int32 winner keys [nchunks, BPout, 128] in original pair
-    order (see module docstring); BPout = real pairs + 8 dump rows."""
-    nchunks, BPcp, d = qp.shape
+    """Packed int32 winner keys [nchunks, BPc, 128] in original pair
+    order (see module docstring)."""
+    nchunks, Bc, d = q.shape
+    BPc = Bc * P
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(nchunks, K),
         in_specs=[
-            pl.BlockSpec((1, BPcp, d), lambda c, k, *_: (c, 0, 0),
+            pl.BlockSpec((1, Bc, d), lambda c, k, *_: (c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d, Cmax), lambda c, k, *_: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda c, k, *_: (k, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Cmax), lambda c, k, *_: (k, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, BPout, LANES), lambda c, k, *_: (c, 0, 0),
+        out_specs=pl.BlockSpec((1, BPc, LANES), lambda c, k, *_: (c, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((TQ, LANES), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((TQ, LANES), jnp.int32),
+            pltpu.VMEM((TQ, d), jnp.float32),
+        ],
     )
     return pl.pallas_call(
-        partial(_kernel, K=K, BPcp=BPcp, BPout=BPout, Cmax=Cmax, TQ=TQ,
-                scale=scale),
-        out_shape=jax.ShapeDtypeStruct((nchunks, BPout, LANES), jnp.int32),
+        partial(_kernel, K=K, BPc=BPc, Cmax=Cmax, P=P, TQ=TQ,
+                scale=scale, sub_cent=sub_cent, debug=debug),
+        out_shape=jax.ShapeDtypeStruct((nchunks, BPc, LANES), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(starts, counts, pair_pos, qp, blocks_t, bias[:, None, :])
+    )(starts, order, q, blocks_t, centroids[:, None, :], bias[:, None, :])
 
 
 def unpack_keys(acc: jax.Array):
