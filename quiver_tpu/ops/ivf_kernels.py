@@ -252,7 +252,7 @@ def ivf_query(
       the probe matmul reads each cluster block once, streamed from HBM.
       Two formulations share everything else:
 
-      - ``formulation="pairs"`` (default): ``jax.lax.ragged_dot`` of the
+      - ``formulation="pairs"``: ``jax.lax.ragged_dot`` of the
         pair-sorted query rows [BP, d] against blocks_t [K, d, Cmax].
         Every pair is scored (no drops), per-pair scores reduce to R
         survivors immediately.
@@ -381,7 +381,15 @@ def ivf_query(
         # the distance from the affine identity (no survivor row gather)
         top_s, posn = jax.lax.top_k(best_s, k_out)
         best_slot = jnp.take_along_axis(best_slot, posn, axis=1)
-        if metric in (DistanceType.COSINE, DistanceType.DOT_PRODUCT):
+        if metric == DistanceType.COSINE:
+            # stage scores are q.v/|v| (the 1/|q| factor is rank-neutral
+            # and omitted in-stage); restore it so returned VALUES match
+            # distance_pairs for unnormalized queries, and clamp like it
+            qinv = jax.lax.rsqrt(
+                jnp.maximum(jnp.sum(q * q, axis=1, keepdims=True), 1e-30)
+            )
+            dist = 1.0 - jnp.clip(top_s * qinv, -1.0, 1.0)
+        elif metric == DistanceType.DOT_PRODUCT:
             dist = 1.0 - top_s
         else:
             qns = jnp.sum(q * q, axis=1, keepdims=True)
@@ -625,14 +633,23 @@ def _fused_candidates(
         unpack_keys,
     )
 
+    if metric not in (
+        DistanceType.EUCLIDEAN, DistanceType.SQUARED_EUCLIDEAN,
+        DistanceType.DOT_PRODUCT,
+    ):
+        raise ValueError(
+            f"fused formulation does not support metric {metric}"
+        )
     B, d = q.shape
     K, _, Cmax = blocks_t.shape
     P = probe.shape[1]
     S = Cmax // WIN
 
     # chunking: the accumulator [BPc, 128] i32 + the resident query chunk
-    # must fit VMEM
+    # must fit VMEM. Bc rounds down to a power of two so it divides the
+    # pow2-padded B even when P is not itself a power of two.
     Bc = max(1, min(B, 16384 // P))
+    Bc = 1 << (Bc.bit_length() - 1)
     nchunks = B // Bc
     BPc = Bc * P
 
