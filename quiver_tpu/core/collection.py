@@ -594,9 +594,10 @@ class FluentSearch:
         return self
 
     def with_strategy(self, strategy: str) -> "FluentSearch":
-        """Force exact|hnsw (reference FluentHybridSearch.WithStrategy,
+        """Force exact|ann ("hnsw"/"ivf"/"ann" all force the ANN side;
+        reference FluentHybridSearch.WithStrategy,
         pkg/hybrid/hybrid_index.go:814-881)."""
-        if strategy not in ("exact", "hnsw"):
+        if strategy not in ("exact", "hnsw", "ivf", "ann"):
             self._err = self._err or f"unknown strategy {strategy!r}"
         self._strategy = strategy
         return self

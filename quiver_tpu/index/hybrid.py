@@ -1,8 +1,8 @@
-"""Hybrid engine — adaptive exact vs HNSW strategy selection.
+"""Hybrid engine — adaptive exact vs ANN strategy selection.
 
 Parity with the reference's ``pkg/hybrid`` (reference:
 pkg/hybrid/hybrid_index.go, adaptive.go): one index that routes each query to
-the brute-force exact scan or the HNSW graph via an ε-greedy selector with a
+the brute-force exact scan or an ANN engine via an ε-greedy selector with a
 learned exact-threshold. Differences by design:
 
 * ONE shared VectorStore — the reference keeps three copies of every vector
@@ -13,7 +13,16 @@ learned exact-threshold. Differences by design:
 * the selector's learned threshold is NOT reset on every write — the
   reference calls UpdateThresholds(count, dim) on each insert/delete which
   overwrites the learned value (adaptive.go:226-231, a quirk SURVEY.md §2.6
-  says to drop while preserving the adaptive interface).
+  says to drop while preserving the adaptive interface);
+* the ANN side is selectable and defaults to the TPU-first IVF engine
+  (``ann_backend="auto"``): where the reference routes among all its
+  engines (adaptive.go:41-72), this hybrid routes exact | ivf | hnsw —
+  exact for small/filtered corpora, IVF past the crossover (it beats the
+  graph by orders of magnitude on batched QPS at equal recall on TPU,
+  docs/BENCH_RESULTS.md), HNSW only when explicitly configured;
+* per-strategy stats are labeled by the engine that actually ran
+  ("exact" | "ivf" | "hnsw"), matching the reference's per-strategy stats
+  (hybrid_index.go:383-469).
 """
 
 from __future__ import annotations
@@ -33,6 +42,7 @@ from quiver_tpu.index.hnsw import HNSWConfig, HNSWIndex
 
 EXACT = "exact"
 HNSW = "hnsw"
+IVF = "ivf"
 
 
 @dataclass
@@ -60,11 +70,20 @@ class QueryMetric:
 
 
 class AdaptiveStrategySelector:
-    """ε-greedy exact-vs-HNSW selection with latency-driven threshold
-    adaptation (reference AdaptiveStrategySelector, adaptive.go:41-174)."""
+    """ε-greedy exact-vs-ANN selection with latency-driven threshold
+    adaptation (reference AdaptiveStrategySelector, adaptive.go:41-174).
+    ``ann_label`` names the ANN engine that serves the non-exact side
+    ("ivf" or "hnsw") so recorded metrics and stats are truthful about
+    which engine ran (reference per-strategy stats name the engine,
+    hybrid_index.go:383-469)."""
 
-    def __init__(self, config: Optional[AdaptiveConfig] = None):
+    def __init__(
+        self,
+        config: Optional[AdaptiveConfig] = None,
+        ann_label: str = HNSW,
+    ):
         self.config = config or AdaptiveConfig()
+        self.ann_label = ann_label
         self.exact_threshold = self.config.initial_exact_threshold
         self.dim_threshold = self.config.initial_dim_threshold
         self._rng = np.random.default_rng(self.config.seed)
@@ -78,12 +97,12 @@ class AdaptiveStrategySelector:
         """(reference SelectStrategy, adaptive.go:41-72)."""
         c = self.config
         if self._rng.random() < c.exploration_factor:
-            return EXACT if self._rng.random() < 0.5 else HNSW
+            return EXACT if self._rng.random() < 0.5 else self.ann_label
         if vector_count < self.exact_threshold:
             return EXACT
         if dimension > self.dim_threshold:
-            return HNSW if k < 50 else EXACT
-        return HNSW
+            return self.ann_label if k < 50 else EXACT
+        return self.ann_label
 
     def select_strategy_batch(
         self, vector_count: int, dimension: int, k: int, n: int
@@ -96,12 +115,12 @@ class AdaptiveStrategySelector:
         if vector_count < self.exact_threshold:
             base = EXACT
         elif dimension > self.dim_threshold:
-            base = HNSW if k < 50 else EXACT
+            base = self.ann_label if k < 50 else EXACT
         else:
-            base = HNSW
+            base = self.ann_label
         explore = self._rng.random(n) < c.exploration_factor
         flip = self._rng.random(n) < 0.5
-        return np.where(explore, np.where(flip, EXACT, HNSW), base)
+        return np.where(explore, np.where(flip, EXACT, self.ann_label), base)
 
     def record_query_metrics(self, m: QueryMetric) -> None:
         """(reference RecordQueryMetrics + adaptThresholds,
@@ -120,7 +139,7 @@ class AdaptiveStrategySelector:
         c = self.config
         small = [m for m in self._window if m.corpus_size < self.exact_threshold * 2]
         exact = [m.latency_ms for m in small if m.strategy == EXACT]
-        hnsw = [m.latency_ms for m in small if m.strategy == HNSW]
+        hnsw = [m.latency_ms for m in small if m.strategy == self.ann_label]
         if len(exact) < 3 or len(hnsw) < 3:
             return
         avg_exact = sum(exact) / len(exact)
@@ -141,9 +160,9 @@ class AdaptiveStrategySelector:
 
     def stats(self) -> dict:
         with self._lock:
-            per = {EXACT: [], HNSW: []}
+            per = {EXACT: [], self.ann_label: []}
             for m in self._window:
-                per[m.strategy].append(m.latency_ms)
+                per.setdefault(m.strategy, []).append(m.latency_ms)
         return {
             "exact_threshold": self.exact_threshold,
             "dim_threshold": self.dim_threshold,
@@ -168,36 +187,48 @@ class HybridIndex:
         compute_dtype=jnp.float32,
         exact_factory=None,
         ann_factory=None,
-        ann_backend: str = "hnsw",
+        ann_backend: str = "auto",
         ivf_config=None,
         **hnsw_overrides,
     ):
         """``exact_factory`` / ``ann_factory`` inject the two engines — the
         sharded hybrid passes mesh-backed variants; defaults are the
-        single-chip ExactIndex + HNSWIndex.
+        single-chip ExactIndex plus the resolved ANN engine.
 
-        ``ann_backend`` picks the ANN side: "hnsw" (reference parity) or
-        "ivf" (the TPU-first pruned-scan engine — at serving batch sizes
-        it beats the graph by two orders of magnitude on QPS at equal
-        recall, index/ivf.py). The selector semantics are unchanged; the
-        strategy label stays "hnsw" for reference-stat parity."""
+        ``ann_backend`` picks the ANN side:
+
+        * "auto" (default): IVF — the TPU-first pruned-scan engine; at
+          serving batch sizes it beats the graph by orders of magnitude
+          on QPS at equal recall (index/ivf.py, docs/BENCH_RESULTS.md).
+          An explicit ``hnsw_config`` or HNSW kwarg resolves auto to
+          "hnsw" (the caller clearly wants the graph).
+        * "ivf": force IVF.  * "hnsw": force the graph (reference
+          parity — incremental pointer-graph semantics).
+
+        Strategy labels and per-strategy stats name the engine that
+        actually ran (reference hybrid_index.go:383-469)."""
         self.store = store
         self.exact = (
             exact_factory(store)
             if exact_factory is not None
             else ExactIndex(store, compute_dtype=compute_dtype)
         )
+        if ann_backend == "auto":
+            ann_backend = (
+                "hnsw" if (hnsw_config is not None or hnsw_overrides)
+                else "ivf"
+            )
         self.ann_backend = ann_backend
         if ann_factory is not None:
-            self.hnsw = ann_factory(store)
+            self.ann = ann_factory(store)
         elif ann_backend == "ivf":
             from quiver_tpu.index.ivf import IVFIndex
 
-            self.hnsw = IVFIndex(
+            self.ann = IVFIndex(
                 store, config=ivf_config, compute_dtype=compute_dtype
             )
         elif ann_backend == "hnsw":
-            self.hnsw = HNSWIndex(
+            self.ann = HNSWIndex(
                 store,
                 config=hnsw_config,
                 compute_dtype=compute_dtype,
@@ -205,9 +236,14 @@ class HybridIndex:
             )
         else:
             raise ValueError(f"unknown ann_backend {ann_backend!r}")
-        self.selector = AdaptiveStrategySelector(adaptive_config)
+        self.ann_label = getattr(self.ann, "name", HNSW) or HNSW
+        if self.ann_label.startswith("sharded_"):
+            self.ann_label = self.ann_label[len("sharded_"):]
+        self.selector = AdaptiveStrategySelector(
+            adaptive_config, ann_label=self.ann_label
+        )
         self.last_strategy = EXACT
-        self._per_strategy_counts = {EXACT: 0, HNSW: 0}
+        self._per_strategy_counts = {EXACT: 0, self.ann_label: 0}
         # Lazy graph construction: below the selector's exact threshold every
         # query routes to the exact scan anyway, so building the HNSW graph
         # (and paying its kernel compiles) is pure waste — buffer inserts and
@@ -229,7 +265,7 @@ class HybridIndex:
             slots = _np.concatenate([s for s, _ in self._pending])
             vecs = _np.concatenate([v for _, v in self._pending])
             self._pending.clear()
-            self.hnsw.on_insert(slots, vecs)
+            self.ann.on_insert(slots, vecs)
             self._graph_built = True
 
     @property
@@ -265,7 +301,7 @@ class HybridIndex:
                 return
         self._ensure_graph()
         if self._graph_built:
-            self.hnsw.on_update(slots, vectors)
+            self.ann.on_update(slots, vectors)
 
     def on_delete(self, slots) -> None:
         import numpy as _np
@@ -282,7 +318,7 @@ class HybridIndex:
                     keep.append((ps[sel], pv[sel]))
             self._pending = keep
         if self._graph_built:
-            self.hnsw.on_delete(slots)
+            self.ann.on_delete(slots)
 
     # ---------------------------------------------------------------- query
 
@@ -322,10 +358,14 @@ class HybridIndex:
                 strategy = self.selector.select_strategy(
                     self.store.size, self.store.dim, k
                 )
+        if strategy != EXACT:
+            # a forced "hnsw"/"ivf"/"ann" all mean the ANN side; record the
+            # engine that actually runs (truthful per-strategy stats)
+            strategy = self.ann_label
         t0 = time.perf_counter()
-        if strategy == HNSW:
-            self._ensure_graph(force=True)  # exploration can pick HNSW early
-        engine = self.exact if strategy == EXACT else self.hnsw
+        if strategy != EXACT:
+            self._ensure_graph(force=True)  # exploration can pick ANN early
+        engine = self.exact if strategy == EXACT else self.ann
         dist, slots = engine.search_slots(
             q, k, mask=mask, negative=negative, negative_weight=negative_weight
         )
@@ -347,13 +387,13 @@ class HybridIndex:
         rows back in request order; per-query metrics feed the selector the
         same way the per-goroutine path feeds the reference's."""
         out_d = out_s = None
-        for strat in (EXACT, HNSW):
+        for strat in (EXACT, self.ann_label):
             idx = np.flatnonzero(per_q == strat)
             if not len(idx):
                 continue
-            if strat == HNSW:
+            if strat != EXACT:
                 self._ensure_graph(force=True)
-            engine = self.exact if strat == EXACT else self.hnsw
+            engine = self.exact if strat == EXACT else self.ann
             t0 = time.perf_counter()
             d, s = engine.search_slots(q[idx], k, **kw)
             ms = (time.perf_counter() - t0) * 1e3
@@ -376,23 +416,29 @@ class HybridIndex:
                 )
         return out_d, out_s
 
+    @property
+    def hnsw(self):
+        """Back-compat alias for the ANN engine (named when the graph was
+        the only ANN side); prefer :attr:`ann`."""
+        return self.ann
+
     def get_optimization_parameters(self) -> dict:
-        return self.hnsw.get_optimization_parameters()
+        return self.ann.get_optimization_parameters()
 
     def set_optimization_parameters(self, **params) -> None:
-        self.hnsw.set_optimization_parameters(**params)
+        self.ann.set_optimization_parameters(**params)
 
     def get_detailed_metrics(self) -> dict:
-        return {"hnsw": self.hnsw.get_detailed_metrics(), **self.stats()}
+        return {self.ann_label: self.ann.get_detailed_metrics(), **self.stats()}
 
     def export_topology(self):
         if not self._graph_built:
             return None
-        return self.hnsw.export_topology()
+        return self.ann.export_topology()
 
     def import_topology(self, data, slot_remap) -> None:
         self._pending.clear()
-        self.hnsw.import_topology(data, slot_remap)
+        self.ann.import_topology(data, slot_remap)
         self._graph_built = True
 
     def stats(self) -> dict:

@@ -93,11 +93,11 @@ class IVFConfig:
     #: B*P/K (pairs beyond it drop; 4x absorbs Poisson skew, and the
     #: scores tensor traffic scales linearly with this)
     q_cap_factor: int = 4
-    #: candidate-stage formulation: "auto" resolves to the fused Pallas
-    #: kernel ("fused", ops/ivf_pallas.py) on TPU for euclidean/dot and
-    #: to "einsum" (per-cluster query lists capped at q_cap) elsewhere;
-    #: "pairs" = ragged grouped matmul (no pair drops) — see
-    #: ops/ivf_kernels.ivf_query docstring
+    #: candidate-stage formulation: "auto" resolves to "pairs" (ragged
+    #: grouped matmul, drop-free, argmax/gather-free reduce — the
+    #: measured winner at serving shapes); "einsum" = per-cluster query
+    #: lists capped at q_cap; "fused" = the Pallas single-kernel stage
+    #: (ops/ivf_pallas.py) — see ops/ivf_kernels.ivf_query docstring
     formulation: str = "auto"
     #: window width for the segmented top-2 candidate reduce (None = one
     #: partial top-k over [B, P*Cmax]; see ivf_query docstring)
@@ -391,7 +391,12 @@ class IVFIndex:
             self._blocks_t, self._block_slot, self._block_ns,
             self._block_inv, block_keep, dev.vectors,
             metric=self._metric(), k=k, n_probe=P,
-            q_cap=self._q_cap(queries.shape[0], P, K),
+            # q_cap only parameterizes the einsum formulation; pinning it
+            # elsewhere avoids spurious jit-cache keys as B varies
+            q_cap=(
+                self._q_cap(queries.shape[0], P, K)
+                if form == "einsum" else 8
+            ),
             compute_dtype=self.compute_dtype,
             oversample=self.config.oversample,
             probe_approx=self.config.probe_approx,
@@ -403,9 +408,8 @@ class IVFIndex:
         )
 
     def _resolve_formulation(self, k: int):
-        """("fused"|"einsum"|"pairs", interpret) — "auto" picks the fused
-        Pallas kernel when the shapes/metric/backend support it (see
-        ops/ivf_pallas.py), else the einsum path. An explicit "fused" on
+        """("fused"|"einsum"|"pairs", interpret) — "auto" resolves to the
+        ragged pairs path (the measured winner); an explicit "fused" on
         a non-TPU backend runs in pallas interpret mode (tests)."""
         form = self.config.formulation
         if form == "pairs" or form == "einsum":
@@ -431,11 +435,12 @@ class IVFIndex:
                     "[k, 128], Cmax <= 2048"
                 )
             return "fused", not on_tpu
-        # auto: the fused Pallas kernel is correct and drop-free but
-        # currently ~1.7x the einsum path's device time (per-grid-cell
-        # overhead at K*nchunks cells — benches/bench_ivf_mega.py); the
-        # einsum candidate stage stays the default until it wins
-        return "einsum", False
+        # auto: the ragged pairs path wins on TPU (benches/lab_pairs2.py:
+        # 10.7 ms vs einsum's 27.6 ms at the 1M serving shape, recall
+        # 0.9805 vs 0.977 — no q_cap drops) and is drop-free everywhere;
+        # the fused Pallas kernel remains opt-in (~1.7x slower per
+        # dispatch from per-grid-cell overhead, bench_ivf_mega.py)
+        return "pairs", False
 
     def search_slots(
         self,

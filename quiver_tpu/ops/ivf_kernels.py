@@ -209,6 +209,44 @@ def balance_assignment(
 # --------------------------------------------------------------------- query
 
 
+_INT_MASK = np.int32(0x7FFFFFFF)
+
+
+def _to_key(s):
+    """f32 -> monotone i32: an order-preserving involution (nonnegative
+    floats map to themselves bitwise; negative floats flip their
+    magnitude bits), so integer max == float max. Same transform used by
+    the fused Pallas kernel (ops/ivf_pallas.py docstring)."""
+    b = jax.lax.bitcast_convert_type(s, jnp.int32)
+    return b ^ (jax.lax.shift_right_arithmetic(b, 31) & _INT_MASK)
+
+
+def _from_key(key):
+    """Inverse of :func:`_to_key` (it is an involution)."""
+    b = key ^ (jax.lax.shift_right_arithmetic(key, 31) & _INT_MASK)
+    return jax.lax.bitcast_convert_type(b, jnp.float32)
+
+
+def _pack_lane(s, lane_mask):
+    """f32 scores -> monotone i32 keys whose low bits carry the LANE
+    index (position within the trailing axis). A max over the packed
+    keys then yields score AND argmax position in ONE pass — the
+    windowed candidate reduce needs no argmax passes at all. The score
+    loses log2(W) mantissa bits (~2^-18 relative at W=32), far below
+    the bf16 noise already in the dots."""
+    key = _to_key(s)
+    lane = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
+    return (key & ~lane_mask) | (lane & lane_mask)
+
+
+def _mask_key(w: int) -> np.int32:
+    """Packed key of NEG_BIG with zero lane bits: the masked-entry
+    sentinel (stays a normal f32 under the involution — no NaN risk in
+    downstream approx_max_k)."""
+    b = np.float32(NEG_BIG).view(np.int32).item()
+    return np.int32((b ^ ((b >> 31) & 0x7FFFFFFF)) & ~(w - 1))
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -236,7 +274,7 @@ def ivf_query(
     oversample: int = 3,
     probe_approx: float | None = 0.95,
     probe_sel_approx: float | None = None,
-    formulation: str = "einsum",
+    formulation: str = "pairs",
     seg_width: int | None = 32,
     rescore: bool = True,
     fused_interpret: bool = False,
@@ -250,17 +288,21 @@ def ivf_query(
     * **Grouped matmul, no block gather.** (query, probe) pairs sort by
       cluster — MoE-style: pairs are tokens, clusters are experts — and
       the probe matmul reads each cluster block once, streamed from HBM.
-      Two formulations share everything else:
+      Three formulations share everything else:
 
-      - ``formulation="pairs"``: ``jax.lax.ragged_dot`` of the
+      - ``formulation="pairs"`` (default): ``jax.lax.ragged_dot`` of the
         pair-sorted query rows [BP, d] against blocks_t [K, d, Cmax].
-        Every pair is scored (no drops), per-pair scores reduce to R
-        survivors immediately.
+        Every pair is scored (no drops, no q_cap padding); positions
+        pack into the score keys so the whole reduce chain is argmax-
+        and gather-free (see :func:`_pairs_candidates` — measured 2.6x
+        faster end-to-end than the einsum path at the serving shape).
       - ``formulation="einsum"``: per-cluster query lists qlist[K, q_cap]
         + one batched einsum. A cluster probed by more than ``q_cap``
         queries drops the overflow pairs (q_cap auto-sizes to ~4x the
         mean load). Kept for comparison and as a fallback where
         ragged_dot lowers poorly.
+      - ``formulation="fused"``: the Pallas single-kernel stage
+        (ops/ivf_pallas.py; euclidean/dot only).
 
     * **Residual encoding.** Blocks hold ``v - c_k`` in bf16 and the
       per-(query, cluster) constants re-enter in f32 from the probe stage.
@@ -312,59 +354,56 @@ def ivf_query(
         c_scores = c_dots
     else:  # euclidean family probes by true centroid distance
         c_scores = c_aff
-    if P <= 16:
-        # iterated argmax: P cheap passes, exact (approx_max_k and top_k
-        # are both far slower at [B, K] shapes — profile_reduce.py)
-        sm = c_scores
-        cols = []
-        for _ in range(P):
-            a = jnp.argmax(sm, axis=1).astype(jnp.int32)
-            cols.append(a)
-            sm = sm.at[jnp.arange(B), a].set(-jnp.inf)
-        probe = jnp.stack(cols, axis=1)  # i32[B, P]
-    elif probe_sel_approx is not None and 2 * P <= K:
-        _, probe = jax.lax.approx_max_k(
-            c_scores, P, recall_target=probe_sel_approx
-        )
-        probe = probe.astype(jnp.int32)
+    probe, pscore = _select_probes(c_scores, P, K, probe_sel_approx)
+    # caff[B, P]: the per-(query, probe) f32 constant of the affine
+    # identity. For euclidean/dot the probe score IS that constant (at
+    # worst 7-bit-lane-quantized, ~2^-16 relative — far below the bf16
+    # stage noise); cosine needs raw q·c, gathered where required.
+    if metric == DistanceType.COSINE:
+        caff = None  # cosine candidates fetch c_dots themselves
     else:
-        _, probe = jax.lax.top_k(c_scores, P)  # i32[B, P]
+        caff = pscore
 
     # ---- 2. sort (query, probe) pairs by cluster (static shapes)
     BP = B * P
     flat_c = probe.reshape(BP)
-    order = jnp.argsort(flat_c)
+    order = jnp.argsort(flat_c).astype(jnp.int32)
     sorted_c = flat_c[order]
     b_of = (order // P).astype(jnp.int32)
 
     if formulation == "fused":
-        best_s, best_slot = _fused_candidates(
+        best_s, best_flat = _fused_candidates(
             q, c_dots, c_aff, probe,
-            blocks_t, block_slot, block_rns, block_keep, centroids,
+            blocks_t, block_rns, block_keep, centroids,
             metric=metric, k=k, compute_dtype=compute_dtype,
             oversample=oversample, probe_approx=probe_approx,
             seg_width=seg_width or 32, interpret=fused_interpret,
         )
-    elif formulation == "pairs":
-        best_s, best_slot = _pairs_candidates(
-            q, centroids, c_dots, c_aff, probe, order, sorted_c, b_of,
-            blocks_t, block_slot, block_rns, block_inv_norms, block_keep,
-            metric=metric, k=k, compute_dtype=compute_dtype,
+    elif formulation == "einsum":
+        best_s, best_flat = _einsum_candidates(
+            q, centroids, c_dots, c_aff, order, sorted_c, b_of, flat_c,
+            blocks_t, block_rns, block_inv_norms, block_keep,
+            metric=metric, k=k, q_cap=q_cap, compute_dtype=compute_dtype,
             oversample=oversample, probe_approx=probe_approx,
+            seg_width=seg_width,
         )
     else:
-        best_s, best_slot = _einsum_candidates(
-            q, centroids, c_dots, c_aff, order, sorted_c, b_of, flat_c,
-            blocks_t, block_slot, block_rns, block_inv_norms, block_keep,
-            metric=metric, k=k, q_cap=q_cap, compute_dtype=compute_dtype,
+        best_s, best_flat = _pairs_candidates(
+            q, centroids, c_dots, caff, probe, order, sorted_c, b_of,
+            blocks_t, block_rns, block_inv_norms, block_keep,
+            metric=metric, k=k, compute_dtype=compute_dtype,
             oversample=oversample, probe_approx=probe_approx,
             seg_width=seg_width,
         )
     n_sur = best_s.shape[1]
     k_out = min(k, n_sur)
+    bslot_flat = block_slot.reshape(-1)
 
     if rescore:
         # ---- exact f32 rescore of the survivors + final top-k
+        best_slot = jnp.where(
+            best_s > NEG_BIG / 2, bslot_flat[best_flat], -1
+        )
         rows = store_vectors[jnp.maximum(best_slot, 0)].astype(jnp.float32)
         from quiver_tpu.ops.distance import distance_pairs
 
@@ -378,9 +417,20 @@ def ivf_query(
         best_slot = jnp.where(dist >= MASKED_DIST, -1, best_slot)
     else:
         # ---- score-derived distances: rank by stage score, reconstruct
-        # the distance from the affine identity (no survivor row gather)
+        # the distance from the affine identity. Slot resolution is
+        # DEFERRED to the final [B, k] winners and position selection
+        # runs as a one-hot contraction: profile_stages.py measured the
+        # [B, n_sur]-scale take_along_axis + flat slot gather at ~8
+        # ns/ELEMENT on v5e — 10.9 ms of the round-2 path's 27.6 —
+        # while the one-hot sum is pure VPU and the deferred gather
+        # touches k/oversample as many elements.
         top_s, posn = jax.lax.top_k(best_s, k_out)
-        best_slot = jnp.take_along_axis(best_slot, posn, axis=1)
+        oh = posn[:, :, None] == jnp.arange(n_sur, dtype=posn.dtype)[
+            None, None, :]
+        flat_k = jnp.sum(jnp.where(oh, best_flat[:, None, :], 0), axis=2)
+        best_slot = jnp.where(
+            top_s > NEG_BIG / 2, bslot_flat[flat_k], -1
+        )
         if metric == DistanceType.COSINE:
             # stage scores are q.v/|v| (the 1/|q| factor is rank-neutral
             # and omitted in-stage); restore it so returned VALUES match
@@ -406,16 +456,94 @@ def ivf_query(
     return dist, best_slot
 
 
+def _select_probes(c_scores, P: int, K: int, probe_sel_approx):
+    """Top-P probe selection over [B, K] centroid scores. Returns
+    (probe i32[B, P], score f32[B, P]).
+
+    Three regimes, all profiled on v5e (benches/profile_reduce.py,
+    lab_pairs2.py):
+
+    * K >= 256 with enough 128-lane windows: top-2 per window via packed
+      keys (2 max passes, argmax-free) + one tiny exact top-P over the
+      window winners — 0.70 ms at [16k, 1405] vs 1.66 ms for iterated
+      argmax. A probe is lost only when 3+ of the true top-P centroids
+      share one window (index order is arbitrary, so windows are a
+      random partition; the marginal last probe costs ~nothing).
+    * small K, P <= 16: iterated argmax (exact).
+    * else: approx_max_k / top_k.
+    """
+    B = c_scores.shape[0]
+    nwin = (K + 127) // 128
+    if K >= 256 and 2 * nwin >= P:
+        LM = jnp.int32(127)
+        MK = _mask_key(128)
+        KP = nwin * 128
+        cw = c_scores
+        if KP != K:
+            cw = jnp.pad(cw, ((0, 0), (0, KP - K)), constant_values=NEG_BIG)
+        keyc = _pack_lane(cw, LM).reshape(B, nwin, 128)
+        m1 = jnp.max(keyc, axis=2)
+        r2 = jnp.where(keyc == m1[:, :, None], MK, keyc)
+        m2 = jnp.max(r2, axis=2)
+        wins = jnp.concatenate([m1, m2], axis=1)  # [B, 2*nwin]
+        wkey, wsel = jax.lax.top_k(wins, P)
+        wid = jnp.where(wsel >= nwin, wsel - nwin, wsel)
+        probe = wid * 128 + (wkey & LM)
+        return probe.astype(jnp.int32), _from_key(wkey & ~LM)
+    if P <= 16:
+        # iterated argmax: P cheap passes, exact (approx_max_k and top_k
+        # are both far slower at [B, K] shapes — profile_reduce.py)
+        sm = c_scores
+        cols = []
+        for _ in range(P):
+            a = jnp.argmax(sm, axis=1).astype(jnp.int32)
+            cols.append(a)
+            sm = sm.at[jnp.arange(B), a].set(-jnp.inf)
+        probe = jnp.stack(cols, axis=1)  # i32[B, P]
+    elif probe_sel_approx is not None and 2 * P <= K:
+        _, probe = jax.lax.approx_max_k(
+            c_scores, P, recall_target=probe_sel_approx
+        )
+        probe = probe.astype(jnp.int32)
+    else:
+        _, probe = jax.lax.top_k(c_scores, P)  # i32[B, P]
+    return probe, jnp.take_along_axis(c_scores, probe, axis=1)
+
+
 def _pairs_candidates(
-    q, centroids, c_dots, c_aff, probe, order, sorted_c, b_of,
-    blocks_t, block_slot, block_rns, block_inv_norms, block_keep,
-    *, metric, k, compute_dtype, oversample, probe_approx,
+    q, centroids, c_dots, caff, probe, order, sorted_c, b_of,
+    blocks_t, block_rns, block_inv_norms, block_keep,
+    *, metric, k, compute_dtype, oversample, probe_approx, seg_width,
 ):
     """Grouped-matmul candidate stage: ``ragged_dot`` of pair-sorted query
     rows against the resident block tensor (pairs = tokens, clusters =
-    experts). Each pair's score row reduces to its top-R immediately, so
-    the per-query merge runs over [B, P*R] instead of [B, P*Cmax] and no
-    pair is ever dropped (the einsum path's q_cap overflow)."""
+    experts). Every pair is scored — no q_cap drops, no q_cap padding
+    (the score tensor is [BP, Cmax], 2.7x smaller than the einsum path's
+    [K, q_cap, Cmax] at the serving shape).
+
+    The round-3 redesign (validated in benches/lab_pairs2.py: 10.7 ms vs
+    the round-2 einsum path's 27.6 ms at B=16k, P=4, 1M x 128):
+
+    * candidate positions are PACKED into the score keys (f32 bitcast ->
+      monotone i32, low log2(W) bits = lane), so the windowed top-2
+      reduce is 2 max passes with positions for free — no argmax passes,
+      and no [*, Cmax]-scale position bookkeeping;
+    * the reduce runs BEFORE the regroup: the inverse-permutation gather
+      moves [BP, 2S] winner keys (~320 B rows at W=32), not score rows;
+    * the per-pair additive constant ``caff`` (euclidean / dot — it
+      cannot change within-pair ranking) re-enters in f32 AFTER the
+      within-pair reduce; cosine's per-candidate row scale folds into
+      the epilogue before packing;
+    * flat block positions of the finalists are reconstructed by
+      arithmetic from (probe slot, window, lane) via one-hot sums — no
+      take_along_axis at [B, n_sur * ...] scale (measured ~8 ns/element
+      on v5e; the round-2 slot stage was 10.9 of 27.6 ms).
+
+    Returns ``(best_s f32[B, n_sur], best_flat i32[B, n_sur])`` where
+    ``best_flat`` indexes the flattened [K * Cmax] block grid; scores of
+    masked entries are <= NEG_BIG (validity test: ``> NEG_BIG / 2``).
+    Window-packed scores are quantized by log2(W) mantissa bits (~2^-18
+    relative at W=32), far below the bf16 noise already in the dots."""
     B, d = q.shape
     K, _, Cmax = blocks_t.shape
     P = probe.shape[1]
@@ -429,20 +557,79 @@ def _pairs_candidates(
         group_sizes, preferred_element_type=jnp.float32,
     )  # f32[BP, Cmax] = (q[-c]) · (v-c)
 
-    # f32 per-pair constants from the probe stage, in pair-sorted order
+    # epilogue: in-window scores. ONE gathered [K, Cmax] operand (bias)
+    # for euclidean/dot; cosine needs the per-candidate row scale too.
     if metric == DistanceType.COSINE:
         cdots_p = jnp.take_along_axis(c_dots, probe, axis=1).reshape(BP)[order]
-        scores = (dots + cdots_p[:, None]) * block_inv_norms[sorted_c]
+        inv_m = jnp.where(block_keep, block_inv_norms, 0.0)
+        mask_b = jnp.where(block_keep, 0.0, NEG_BIG)
+        scores = (dots + cdots_p[:, None]) * inv_m[sorted_c] + mask_b[sorted_c]
+        caff_p = None
     elif metric == DistanceType.DOT_PRODUCT:
-        cdots_p = jnp.take_along_axis(c_dots, probe, axis=1).reshape(BP)[order]
-        scores = dots + cdots_p[:, None]
+        bias = jnp.where(block_keep, 0.0, NEG_BIG)
+        scores = dots + bias[sorted_c]
+        caff_p = caff.reshape(BP)[order]  # q·c, pair-sorted
     else:
         # -|q-v|^2 + |q|^2 = 2(q-c)·(v-c) - |v-c|^2 + (-|q-c|^2 + |q|^2)
-        caff_p = jnp.take_along_axis(c_aff, probe, axis=1).reshape(BP)[order]
-        scores = 2.0 * dots - block_rns[sorted_c] + caff_p[:, None]
-    scores = jnp.where(block_keep[sorted_c], scores, NEG_BIG)
+        bias = jnp.where(block_keep, -block_rns, NEG_BIG)
+        scores = 2.0 * dots + bias[sorted_c]
+        caff_p = caff.reshape(BP)[order]  # -|q-c|^2 + |q|^2, pair-sorted
 
-    # per-pair reduce to R survivors, recording flat block positions
+    # engage the windowed reduce only when one pair's window capacity
+    # (2S winners) comfortably covers k — a query's true top-k often
+    # lives in ONE cluster, and windows cap what a single pair can
+    # contribute (same guard as the einsum path)
+    W = seg_width or 0
+    if (
+        W >= 2 and (W & (W - 1)) == 0 and Cmax % W == 0
+        and Cmax // W >= k
+    ):
+        S = Cmax // W
+        LM = jnp.int32(W - 1)
+        MK = _mask_key(W)
+        keys = _pack_lane(scores, LM).reshape(BP, S, W)
+        m1 = jnp.max(keys, axis=2)
+        r2 = jnp.where(keys == m1[:, :, None], MK, keys)
+        m2 = jnp.max(r2, axis=2)
+        wins = jnp.concatenate([m1, m2], axis=1)  # i32[BP, 2S]
+        # regroup winners to queries (inverse permutation) — SMALL rows
+        inv = (
+            jnp.zeros(BP, jnp.int32)
+            .at[order]
+            .set(jnp.arange(BP, dtype=jnp.int32))
+        )
+        cand = wins[inv].reshape(B, P, 2 * S)
+        if caff_p is not None:
+            cand_f = _from_key(cand & ~LM) + caff[:, :, None]
+            cand = (_to_key(cand_f) & ~LM) | (cand & LM)
+        cand = cand.reshape(B, P * 2 * S)
+        n_sur = min(k * oversample, P * 2 * S)
+        # survivors: partial top-k on the f32 VIEW of the keys (order
+        # matches; lane bits ride along in the low mantissa)
+        fkeys = _from_key(cand)
+        if probe_approx is not None and 2 * n_sur <= P * 2 * S:
+            fbest, sel = jax.lax.approx_max_k(
+                fkeys, n_sur, recall_target=probe_approx
+            )
+        else:
+            fbest, sel = jax.lax.top_k(fkeys, n_sur)
+        best_key = _to_key(fbest)
+        # flat block position by arithmetic + one-hot sum over P (pure
+        # VPU — no per-element gather)
+        j_of = (sel // (2 * S)).astype(jnp.int32)
+        w_of = ((sel % (2 * S)) % S).astype(jnp.int32)
+        oh = j_of[:, :, None] == jnp.arange(P, dtype=jnp.int32)[None, None, :]
+        cl = jnp.sum(jnp.where(oh, probe[:, None, :], 0), axis=2)
+        best_flat = cl * Cmax + w_of * W + (best_key & LM)
+        best_s = _from_key(best_key & ~LM)  # lane bits zeroed
+        return best_s, best_flat
+
+    # fallback (seg_width unusable for this Cmax): per-pair top-R reduce,
+    # then regroup and merge — still drop-free
+    if caff_p is not None:
+        # additive per-pair constant cannot change within-pair ranking;
+        # adding it pre-reduce here keeps one code path
+        scores = scores + caff_p[:, None]
     R = min(Cmax, max(16, k))
     if probe_approx is not None and 2 * R <= Cmax:
         s_pair, pos = jax.lax.approx_max_k(
@@ -452,7 +639,6 @@ def _pairs_candidates(
         s_pair, pos = jax.lax.top_k(scores, R)
     fpos = sorted_c[:, None] * Cmax + pos  # [BP, R] flat block position
 
-    # regroup pairs to queries (inverse permutation via scatter) + merge
     inv = (
         jnp.zeros(BP, jnp.int32)
         .at[order]
@@ -468,14 +654,12 @@ def _pairs_candidates(
     else:
         best_s, sel = jax.lax.top_k(cand_s, n_sur)
     best_f = jnp.take_along_axis(cand_f, sel, axis=1)
-    best_slot = block_slot.reshape(-1)[best_f]  # [B, n_sur]
-    best_slot = jnp.where(best_s > NEG_BIG / 2, best_slot, -1)
-    return best_s, best_slot
+    return best_s, best_f
 
 
 def _einsum_candidates(
     q, centroids, c_dots, c_aff, order, sorted_c, b_of, flat_c,
-    blocks_t, block_slot, block_rns, block_inv_norms, block_keep,
+    blocks_t, block_rns, block_inv_norms, block_keep,
     *, metric, k, q_cap, compute_dtype, oversample, probe_approx,
     seg_width=None,
 ):
@@ -485,7 +669,8 @@ def _einsum_candidates(
     back to queries (WIDE rows — TPU gathers pay a flat ~110 ns/row, so
     the regroup must move the big tensor, not the reduced one); then the
     windowed top-2 reduce (``seg_width``) or, when shapes don't allow it,
-    one partial top-k over [B, P*Cmax]."""
+    one partial top-k over [B, P*Cmax]. Returns ``(best_s, best_flat)``
+    like :func:`_pairs_candidates`."""
     B, d = q.shape
     K, _, Cmax = blocks_t.shape
     BP = b_of.shape[0]
@@ -586,14 +771,14 @@ def _einsum_candidates(
         else:
             best_s, sel = jax.lax.top_k(cand_s, n_sur)
         best_f = jnp.take_along_axis(cand_f, sel, axis=1)
-        best_slot = block_slot.reshape(-1)[best_f]
-        best_slot = jnp.where(best_s > NEG_BIG / 2, best_slot, -1)
-        return best_s, best_slot
+        return best_s, best_f
 
     cand_s = jnp.where(
         in_cap_orig[:, None], scores[flat_c, col_orig], NEG_BIG
     ).reshape(B, P * Cmax)
-    cand_slot = block_slot[flat_c].reshape(B, P * Cmax)
+    cand_f = (
+        flat_c[:, None] * Cmax + jnp.arange(Cmax, dtype=jnp.int32)[None, :]
+    ).reshape(B, P * Cmax)
 
     # ONE oversampled partial top-k per query feeds the rescore (bf16
     # stage noise); a slot appears at most once per query — its cluster
@@ -605,14 +790,13 @@ def _einsum_candidates(
         )
     else:
         best_s, sel = jax.lax.top_k(cand_s, n_sur)
-    best_slot = jnp.take_along_axis(cand_slot, sel, axis=1)
-    best_slot = jnp.where(best_s > NEG_BIG, best_slot, -1)
-    return best_s, best_slot
+    best_f = jnp.take_along_axis(cand_f, sel, axis=1)
+    return best_s, best_f
 
 
 def _fused_candidates(
     q, c_dots, c_aff, probe,
-    blocks_t, block_slot, block_rns, block_keep, centroids,
+    blocks_t, block_rns, block_keep, centroids,
     *, metric, k, compute_dtype, oversample, probe_approx, seg_width,
     interpret=False,
 ):
@@ -692,6 +876,4 @@ def _fused_candidates(
     else:
         best_s, sel = jax.lax.top_k(scores, n_sur)
     best_f = jnp.take_along_axis(fpos, sel, axis=1)
-    best_slot = block_slot.reshape(-1)[best_f]
-    best_slot = jnp.where(best_s > NEG_BIG / 2, best_slot, -1)
-    return best_s, best_slot
+    return best_s, best_f

@@ -229,7 +229,8 @@ def test_hybrid_ivf_backend_routes_and_matches_exact():
     idx.on_insert(slots, vecs)
     q = (vecs[:16] + 0.05 * rng.normal(size=(16, dim))).astype(np.float32)
     d, s = idx.search_slots(q, k)
-    assert idx.last_strategy == "hnsw"  # strategy label is parity-stable
+    assert idx.last_strategy == "ivf"  # label names the engine that ran
+    assert idx.stats()["per_strategy_queries"].get("ivf", 0) >= 1
     de, se = idx.exact.search_slots(q, k)
     rec = np.mean([len(set(s[b]) & set(se[b])) / k for b in range(16)])
     assert rec >= 0.9
