@@ -26,6 +26,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 import json
 import os
 import time
+from functools import partial
 
 import numpy as np
 
@@ -35,7 +36,7 @@ N, D, K = 1_000_000, 128, 10
 N_CENTERS = 1000
 B = int(os.environ.get("QUIVER_BENCH_B", 16384))
 B_ORACLE = 2048
-PIPELINE_DEPTH = 8
+PIPELINE_DEPTH = 32
 ROUNDS = 3
 BUILD_CACHE = "/tmp/quiver_bench_ivf_build.npz"
 TRUTH_CACHE = "/tmp/quiver_bench_truth_d10.npy"
@@ -105,12 +106,55 @@ def main() -> None:
     def timed_round():
         t0 = time.perf_counter()
         outs = [eng.search_slots_device(qj, K) for _ in range(PIPELINE_DEPTH)]
-        _ = np.asarray(outs[-1][0])[:1]
+        # fetch ONE scalar of the last batch (slices on device): syncs the
+        # whole pipeline without dragging the [B, k] result through the
+        # tunnel's ~5-14 MB/s host link, which a real TPU host doesn't pay
+        _ = np.asarray(outs[-1][0][0, 0])
         return (time.perf_counter() - t0) / PIPELINE_DEPTH
 
     timed_round()  # warm
     per_batch = min(timed_round() for _ in range(ROUNDS))
     qps = B / per_batch
+
+    # device-side QPS: L query dispatches chained inside ONE jitted scan
+    # (no per-dispatch overhead at all) — the pure-device-time ceiling the
+    # wall number converges to as the pipeline deepens (VERDICT r2 #2:
+    # report both so link overhead is visible, not guessed)
+    import jax
+
+    from quiver_tpu.ops.ivf_kernels import ivf_query
+
+    cent_j, c_ns = eng._cent_dev
+    big = (cent_j, c_ns, eng._blocks_t, eng._block_slot, eng._block_ns,
+           eng._block_inv, eng._keep_dev(), store.device_view().vectors)
+
+    @partial(jax.jit, static_argnames=("L",))
+    def chained(q, cj, cns, bt, bs, bns, bi, bk, sv, L):
+        # big arrays arrive as ARGUMENTS (the tunnel rejects programs with
+        # large embedded constants)
+        def step(c, _):
+            d, _s = ivf_query(
+                q + c, cj, cns, bt, bs, bns, bi, bk, sv,
+                metric="euclidean", k=K, n_probe=eng.config.n_probe,
+                q_cap=8, formulation="pairs",
+                oversample=eng.config.oversample,
+                probe_approx=eng.config.probe_approx,
+                probe_sel_approx=eng.config.probe_sel_approx,
+                seg_width=eng.config.seg_width, rescore=False,
+            )
+            return c + d[0, 0] * 1e-30, None
+        c, _ = jax.lax.scan(step, jnp.float32(0), None, length=L)
+        return c
+
+    def wall_L(L):
+        t0 = time.perf_counter()
+        _ = np.asarray(chained(qj, *big, L=L))
+        return time.perf_counter() - t0
+
+    wall_L(1), wall_L(5)  # warm both programs
+    dev_per_batch = (min(wall_L(5) for _ in range(ROUNDS))
+                     - min(wall_L(1) for _ in range(ROUNDS))) / 4
+    dev_qps = B / dev_per_batch
 
     result = {
         "metric": (f"batched QPS/chip, IVF 1M x {D}-d L2, "
@@ -118,6 +162,9 @@ def main() -> None:
         "value": round(qps, 1),
         "unit": "qps",
         "vs_baseline": round(qps / REFERENCE_BATCHED_QPS_PER_CORE, 3),
+        "device_qps": round(dev_qps, 1),
+        "device_vs_baseline": round(dev_qps / REFERENCE_BATCHED_QPS_PER_CORE, 3),
+        "pipeline_depth": PIPELINE_DEPTH,
     }
     assert recall >= 0.95, f"recall {recall} below target"
     print(json.dumps(result))
