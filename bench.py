@@ -35,10 +35,13 @@ REFERENCE_BATCHED_QPS_PER_CORE = 149_254.0
 N, D, K = 1_000_000, 128, 10
 N_CENTERS = 1000
 B = int(os.environ.get("QUIVER_BENCH_B", 16384))
+N_PROBE = int(os.environ.get("QUIVER_BENCH_NPROBE", 4))
 B_ORACLE = 2048
 PIPELINE_DEPTH = 32
 ROUNDS = 3
-BUILD_CACHE = "/tmp/quiver_bench_ivf_build.npz"
+# v2: cluster ids permuted at build (index/ivf.py) — stale v1 caches would
+# re-import the unpermuted layout and its windowed-probe recall pathology
+BUILD_CACHE = "/tmp/quiver_bench_ivf_build_v2.npz"
 TRUTH_CACHE = "/tmp/quiver_bench_truth_d10.npy"
 
 
@@ -65,7 +68,7 @@ def main() -> None:
     store = VectorStore(dim=D, metric="euclidean", capacity=N)
     store.add_batch([f"v{i}" for i in range(N)], vecs)
     eng = IVFIndex(store, config=IVFConfig(
-        n_clusters=1024, n_probe=4, q_cap_factor=2, kmeans_iters=8,
+        n_clusters=1024, n_probe=N_PROBE, q_cap_factor=2, kmeans_iters=8,
         build_threshold=1024, rescore=False))
     if os.path.exists(BUILD_CACHE):
         z = np.load(BUILD_CACHE)

@@ -42,7 +42,7 @@ from benches.ivf_lab import wall
 
 N, D, K_TOP = 1_000_000, 128, 10
 LO, HI = 1, 5
-BUILD_CACHE = "/tmp/quiver_bench_ivf_build.npz"
+BUILD_CACHE = "/tmp/quiver_bench_ivf_build_v2.npz"
 TRUTH_CACHE = "/tmp/quiver_bench_truth_d10.npy"
 
 STAGES = ["probe", "pairsort", "qpgather", "ragged", "winreduce",
@@ -228,14 +228,31 @@ def main():
             qp = (q[b_of] - cents_j[sorted_c]).astype(jnp.bfloat16)
             if upto == "qpgather":
                 return qp[0, 0].astype(jnp.float32) * 1e-30
-            # ---- ragged grouped matmul: every pair scored, no drops
-            dots = jax.lax.ragged_dot(
-                qp, blocks_t, group_sizes,
-                preferred_element_type=jnp.float32)  # f32[BP, Cmax]
-            if upto == "ragged":
-                return dots[0, 0] * 1e-30
+            # ---- ragged grouped matmul: every pair scored, no drops.
+            # DOT_OUT=bf16 keeps the [BP, Cmax] scores tensor in bf16 —
+            # halves the dominant HBM traffic of the epilogue+reduce; the
+            # values are residual-scale so bf16 rounding matches the noise
+            # already in the dots, and lane-packing after upconvert to f32
+            # costs no extra precision (bf16->f32 leaves mantissa bits
+            # 0..15 zero, the lane bits live in 0..4)
+            if os.environ.get("DOT_OUT", "f32") == "bf16":
+                dots = jax.lax.ragged_dot(
+                    qp, blocks_t, group_sizes,
+                    preferred_element_type=jnp.bfloat16)
+                if upto == "ragged":
+                    return dots[0, 0].astype(jnp.float32) * 1e-30
+                scores = (
+                    2.0 * dots + bias_j[sorted_c].astype(jnp.bfloat16)
+                ).astype(jnp.float32)
+            else:
+                dots = jax.lax.ragged_dot(
+                    qp, blocks_t, group_sizes,
+                    preferred_element_type=jnp.float32)  # f32[BP, Cmax]
+                if upto == "ragged":
+                    return dots[0, 0] * 1e-30
+                # caff added post-regroup
+                scores = 2.0 * dots + bias_j[sorted_c]
             # ---- epilogue + windowed top-2, positions packed (2 passes)
-            scores = 2.0 * dots + bias_j[sorted_c]  # caff added post-regroup
             keys = pack(scores).reshape(BP, S, W)
             m1 = jnp.max(keys, axis=2)
             r2 = jnp.where(keys == m1[:, :, None], MASK_KEY, keys)

@@ -46,6 +46,10 @@ def make_engine(kind: str, store, **cfg):
         from quiver_tpu.parallel.sharded_graph import ShardedHNSWIndex
 
         return ShardedHNSWIndex(store, **cfg)
+    if kind == "sharded_ivf":
+        from quiver_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+        return ShardedIVFIndex(store, **cfg)
     if kind == "sharded_hybrid":
         from quiver_tpu.index.hybrid import HybridIndex
         from quiver_tpu.parallel.sharded import ShardedExactIndex, make_mesh

@@ -130,6 +130,10 @@ class IVFIndex:
         self.config = config or IVFConfig(**cfg_overrides)
         self.compute_dtype = compute_dtype
         self._exact = ExactIndex(store, compute_dtype=jnp.float32)
+        #: bool[K] — False rows are reserved/padded cluster ids that must
+        #: never receive assignments or probes (sharded layout pads the
+        #: cluster id space; None = all live)
+        self._cluster_live = None
         self._built = False
         self._centroids = None  # np f32[K, d]
         self._cent_dev = None  # (centroids, cent_norms_sq) device
@@ -189,10 +193,53 @@ class IVFIndex:
             self.store._np_vectors, cents, np.asarray(assign, np.int64),
             cmax, seed=c.seed,
         )
-        cent_j = jnp.asarray(cents)
+        # de-correlate cluster ids from space: split fragments are spatially
+        # ADJACENT and consecutively numbered, but the windowed probe
+        # selection (ops/ivf_kernels._select_probes) keeps only the top-2
+        # per 128-id window under the assumption that ids partition space
+        # arbitrarily — without this shuffle a query whose best clusters
+        # are sibling fragments loses all but two of them (measured: lost
+        # self-recall on clustered corpora)
+        perm = np.random.default_rng(c.seed + 1).permutation(len(cents))
+        cents = cents[np.argsort(perm)]
+        assign = np.where(assign >= 0, perm[assign], -1)
+        cents, assign = self._prepare_clusters(cents, assign)
         self._centroids = cents
-        self._cent_dev = (cent_j, jnp.sum(cent_j * cent_j, axis=1))
+        self._cent_dev = self._put_cent_dev(cents)
         self._layout_from_assign(assign, len(cents), cmax=cmax)
+
+    def _prepare_clusters(self, cents, assign):
+        """Hook: remap (centroids, assignment) into the engine's cluster
+        id space before layout. The sharded engine pads/renumbers ids so
+        each shard owns a contiguous block plus one reserved empty
+        cluster (parallel/sharded_ivf.py); single-chip is identity."""
+        self._cluster_live = None
+        return cents, assign
+
+    def _put_cent_dev(self, cents: np.ndarray):
+        """Hook: place (centroids, |c|^2) on device (sharded: replicated
+        over the mesh)."""
+        cent_j = jnp.asarray(cents)
+        return cent_j, jnp.sum(cent_j * cent_j, axis=1)
+
+    def _put_block_arrays(self, blocks_t, block_slot, rns, inv, keep):
+        """Hook: place the block arrays on device (sharded: cluster axis
+        partitioned over the mesh — parallel/sharded_ivf.py)."""
+        return (
+            jnp.asarray(blocks_t), jnp.asarray(block_slot),
+            jnp.asarray(rns), jnp.asarray(inv), jnp.asarray(keep),
+        )
+
+    def _assign_scores(self, vectors: np.ndarray) -> np.ndarray:
+        """Nearest-centroid affine scores for write-path assignment, with
+        reserved cluster ids masked out."""
+        cent_j, c_ns = self._cent_dev
+        scores = 2.0 * (jnp.asarray(vectors) @ cent_j.T) - c_ns[None, :]
+        if self._cluster_live is not None:
+            scores = jnp.where(
+                jnp.asarray(self._cluster_live)[None, :], scores, -np.inf
+            )
+        return np.asarray(scores)
 
     def _np_compute_dtype(self):
         return np.dtype(jnp.dtype(self.compute_dtype).name)
@@ -219,11 +266,7 @@ class IVFIndex:
             return
         self._grow_maps()
         # assign to nearest centroid (one matmul), append where there's room
-        cent_j, c_ns = self._cent_dev
-        scores = np.asarray(
-            2.0 * (jnp.asarray(vectors) @ cent_j.T) - c_ns[None, :]
-        )
-        assign = np.argmax(scores, axis=1)
+        assign = np.argmax(self._assign_scores(vectors), axis=1)
         cmax = self._block_slot.shape[1]
         app_rows, app_pos, app_slots, app_vecs = [], [], [], []
         for a, s, v in zip(assign, slots, vectors):
@@ -269,10 +312,7 @@ class IVFIndex:
         self._grow_maps()
         # re-assign: a vector whose nearest centroid changed moves blocks
         # (in-place refresh would leave it invisible to the right probes)
-        cent_j, c_ns = self._cent_dev
-        new_assign = np.asarray(jnp.argmax(
-            2.0 * (jnp.asarray(vectors) @ cent_j.T) - c_ns[None, :], axis=1
-        ))
+        new_assign = np.argmax(self._assign_scores(vectors), axis=1)
         pos = self._slot_pos[slots]
         known = pos[:, 0] >= 0
         stay = known & (pos[:, 0] == new_assign)
@@ -467,12 +507,15 @@ class IVFIndex:
                 q, k, mask=mask, negative=negative,
                 negative_weight=negative_weight,
             )
-        dev = self.store.device_view()
-        # pad batch to pow2 (stable compiled shapes)
+        # pad batch to pow2 (stable compiled shapes) by REPEATING the first
+        # query: zero rows would all probe the same clusters, concentrating
+        # the sharded engine's local-pair load on one shard
         B0 = q.shape[0]
         Bp = _pow2(B0, lo=8)
         if Bp != B0:
-            q = np.concatenate([q, np.zeros((Bp - B0, q.shape[1]), np.float32)])
+            q = np.concatenate(
+                [q, np.broadcast_to(q[:1], (Bp - B0, q.shape[1]))]
+            )
         retrieve_k = k if negative is None else min(max(2 * k, 30), self.store.size)
         dist, idx = self.search_slots_device(
             jnp.asarray(q), retrieve_k,
@@ -488,15 +531,9 @@ class IVFIndex:
                 q[:B0], dist, idx, slot_keep, retrieve_k
             )
         if negative is not None:
-            neg = np.asarray(negative, np.float32)
-            if neg.ndim == 1:
-                neg = np.broadcast_to(neg[None, :], (B0, q.shape[1]))
-            d2, i2 = negative_rerank(
-                jnp.asarray(dist), jnp.asarray(idx), dev.vectors,
-                jnp.asarray(neg), metric=self._metric(), k=k,
-                weight=negative_weight,
+            dist, idx = self._rerank_negative(
+                q[:B0], dist, idx, negative, negative_weight, k
             )
-            dist, idx = np.array(d2), np.array(i2)
         dist, idx = dist[:, :k], idx[:, :k]
         # under-fill supplement: probed clusters may not hold k live rows
         found = (idx >= 0).sum(axis=1)
@@ -513,6 +550,20 @@ class IVFIndex:
                     dist[b], idx[b], e_dist[b], e_idx[b], k
                 )
         return dist, idx
+
+    def _rerank_negative(self, q, dist, idx, negative, weight, k):
+        """Negative-example rerank of retrieved candidates (reference
+        formula d_q - w*d_neg, pkg/hnsw/adapter.go:417-421). Sharded
+        engines override to keep the corpus row gather in-mesh."""
+        neg = np.asarray(negative, np.float32)
+        if neg.ndim == 1:
+            neg = np.broadcast_to(neg[None, :], q.shape)
+        d2, i2 = negative_rerank(
+            jnp.asarray(dist), jnp.asarray(idx),
+            self.store.device_view().vectors,
+            jnp.asarray(neg), metric=self._metric(), k=k, weight=weight,
+        )
+        return np.array(d2), np.array(i2)
 
     def _merge_overflow(self, q, dist, idx, keep, k):
         """Exactly score the overflow rows (rows whose cluster block was
@@ -603,18 +654,15 @@ class IVFIndex:
         ok = new_slots >= 0
         assign[new_slots[ok]] = old_assign[old_slots[ok]]
         # rows the sidecar doesn't know (WAL adds) assign to their centroid
+        # (reserved cluster ids masked out via _assign_scores)
+        self._centroids = cents
+        self._cent_dev = self._put_cent_dev(cents)
         valid = self.store._np_valid
         unknown = np.flatnonzero(valid & (assign < 0))
-        cent_j = jnp.asarray(cents)
-        c_ns = jnp.sum(cent_j * cent_j, axis=1)
         if len(unknown):
-            dots = jnp.asarray(self.store._np_vectors[unknown]) @ cent_j.T
-            assign[unknown] = np.asarray(
-                jnp.argmax(2.0 * dots - c_ns[None, :], axis=1)
+            assign[unknown] = np.argmax(
+                self._assign_scores(self.store._np_vectors[unknown]), axis=1
             )
-        # deterministic block layout from (centroids, assignment)
-        self._centroids = cents
-        self._cent_dev = (cent_j, c_ns)
         cmax = data.get("cmax")
         self._layout_from_assign(
             assign, K, cmax=None if cmax is None else int(cmax)
@@ -633,11 +681,9 @@ class IVFIndex:
             cmax = _cmax_shape(c.cmax_factor * max(n_live, 1) / K)
         counts = np.bincount(assign[assign >= 0], minlength=K)
         if counts.max(initial=0) > cmax:
-            cent_j, c_ns = self._cent_dev
 
             def scores_fn(rows):
-                dots = jnp.asarray(vectors[rows]) @ cent_j.T
-                return np.asarray(2.0 * dots - c_ns[None, :])
+                return self._assign_scores(vectors[rows])
 
             assign = balance_assignment(assign, scores_fn, cmax, K)
         blocks = np.zeros((K, cmax, self.store.dim), np.float32)
@@ -663,13 +709,15 @@ class IVFIndex:
         inv = np.where(
             full_ns > 0, 1.0 / np.sqrt(np.maximum(full_ns, 1e-30)), 0.0
         ).astype(np.float32)
-        self._blocks_t = jnp.asarray(np.ascontiguousarray(
-            blocks.transpose(0, 2, 1).astype(self._np_compute_dtype())
-        ))
-        self._block_slot = jnp.asarray(block_slot)
-        self._block_ns = jnp.asarray(rns)
-        self._block_inv = jnp.asarray(inv)
-        self._block_keep = jnp.asarray(block_slot >= 0)
+        (
+            self._blocks_t, self._block_slot, self._block_ns,
+            self._block_inv, self._block_keep,
+        ) = self._put_block_arrays(
+            np.ascontiguousarray(
+                blocks.transpose(0, 2, 1).astype(self._np_compute_dtype())
+            ),
+            block_slot, rns, inv, block_slot >= 0,
+        )
         self._keep_pending = []
         self._fill = fill
         self._slot_pos = slot_pos

@@ -197,7 +197,9 @@ def balance_assignment(
         room = cmax - np.bincount(assign[assign >= 0], minlength=k)
         for i, row in enumerate(pend):
             for c in pref[i]:
-                if room[c] > 0:
+                # -inf = ineligible cluster (reserved ids in the sharded
+                # engine's padded id space — parallel/sharded_ivf.py)
+                if room[c] > 0 and np.isfinite(s[i, c]):
                     assign[row] = c
                     room[c] -= 1
                     break
@@ -344,25 +346,9 @@ def ivf_query(
     P = min(n_probe, K)
 
     # ---- 1. probe selection: f32 affine centroid scores, top-P
-    c_dots = q @ centroids.T  # f32[B, K]
-    c_aff = 2.0 * c_dots - cent_norms_sq[None, :]  # -|q-c|^2 + |q|^2
-    if metric == DistanceType.COSINE:
-        c_scores = c_dots * jax.lax.rsqrt(
-            jnp.maximum(cent_norms_sq, 1e-30)
-        )[None, :]
-    elif metric == DistanceType.DOT_PRODUCT:
-        c_scores = c_dots
-    else:  # euclidean family probes by true centroid distance
-        c_scores = c_aff
-    probe, pscore = _select_probes(c_scores, P, K, probe_sel_approx)
-    # caff[B, P]: the per-(query, probe) f32 constant of the affine
-    # identity. For euclidean/dot the probe score IS that constant (at
-    # worst 7-bit-lane-quantized, ~2^-16 relative — far below the bf16
-    # stage noise); cosine needs raw q·c, gathered where required.
-    if metric == DistanceType.COSINE:
-        caff = None  # cosine candidates fetch c_dots themselves
-    else:
-        caff = pscore
+    c_dots, c_aff, probe, caff = probe_stage(
+        q, centroids, cent_norms_sq, metric, P, probe_sel_approx
+    )
 
     # ---- 2. sort (query, probe) pairs by cluster (static shapes)
     BP = B * P
@@ -431,29 +417,66 @@ def ivf_query(
         best_slot = jnp.where(
             top_s > NEG_BIG / 2, bslot_flat[flat_k], -1
         )
-        if metric == DistanceType.COSINE:
-            # stage scores are q.v/|v| (the 1/|q| factor is rank-neutral
-            # and omitted in-stage); restore it so returned VALUES match
-            # distance_pairs for unnormalized queries, and clamp like it
-            qinv = jax.lax.rsqrt(
-                jnp.maximum(jnp.sum(q * q, axis=1, keepdims=True), 1e-30)
-            )
-            dist = 1.0 - jnp.clip(top_s * qinv, -1.0, 1.0)
-        elif metric == DistanceType.DOT_PRODUCT:
-            dist = 1.0 - top_s
-        else:
-            qns = jnp.sum(q * q, axis=1, keepdims=True)
-            d2 = jnp.maximum(qns - top_s, 0.0)
-            if metric == DistanceType.EUCLIDEAN:
-                dist = jnp.sqrt(d2)
-            else:
-                dist = d2
+        dist = scores_to_distances(top_s, q, metric)
         dist = jnp.where(best_slot >= 0, dist, MASKED_DIST)
     if k_out < k:
         pad = k - k_out
         dist = jnp.pad(dist, ((0, 0), (0, pad)), constant_values=MASKED_DIST)
         best_slot = jnp.pad(best_slot, ((0, 0), (0, pad)), constant_values=-1)
     return dist, best_slot
+
+
+def scores_to_distances(top_s, q, metric):
+    """Reconstruct output distances from affine stage scores (the
+    score-derived ``rescore=False`` path — no survivor row gather).
+    For cosine, stage scores are q·v/|v| (the 1/|q| factor is
+    rank-neutral and omitted in-stage); restore it so returned VALUES
+    match distance_pairs for unnormalized queries, clamped likewise."""
+    if metric == DistanceType.COSINE:
+        qinv = jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(q * q, axis=1, keepdims=True), 1e-30)
+        )
+        return 1.0 - jnp.clip(top_s * qinv, -1.0, 1.0)
+    if metric == DistanceType.DOT_PRODUCT:
+        return 1.0 - top_s
+    qns = jnp.sum(q * q, axis=1, keepdims=True)
+    d2 = jnp.maximum(qns - top_s, 0.0)
+    if metric == DistanceType.EUCLIDEAN:
+        return jnp.sqrt(d2)
+    return d2
+
+
+def probe_stage(
+    q, centroids, cent_norms_sq, metric, P: int, probe_sel_approx,
+    cluster_live=None,
+):
+    """Stage 1 of the IVF query: metric-specific centroid scores + top-P
+    probe selection. Returns ``(c_dots f32[B, K], c_aff f32[B, K],
+    probe i32[B, P], caff f32[B, P] | None)``.
+
+    ``caff`` is the per-(query, probe) f32 constant of the affine
+    identity. For euclidean/dot the probe score IS that constant (at
+    worst 7-bit-lane-quantized, ~2^-16 relative — far below the bf16
+    stage noise); cosine candidates fetch ``c_dots`` themselves (caff
+    None). ``cluster_live`` masks reserved/empty cluster ids out of
+    probe selection (the sharded engine pads the cluster id space —
+    parallel/sharded_ivf.py)."""
+    c_dots = q @ centroids.T  # f32[B, K]
+    c_aff = 2.0 * c_dots - cent_norms_sq[None, :]  # -|q-c|^2 + |q|^2
+    if metric == DistanceType.COSINE:
+        c_scores = c_dots * jax.lax.rsqrt(
+            jnp.maximum(cent_norms_sq, 1e-30)
+        )[None, :]
+    elif metric == DistanceType.DOT_PRODUCT:
+        c_scores = c_dots
+    else:  # euclidean family probes by true centroid distance
+        c_scores = c_aff
+    if cluster_live is not None:
+        c_scores = jnp.where(cluster_live[None, :], c_scores, NEG_BIG)
+    K = centroids.shape[0]
+    probe, pscore = _select_probes(c_scores, P, K, probe_sel_approx)
+    caff = None if metric == DistanceType.COSINE else pscore
+    return c_dots, c_aff, probe, caff
 
 
 def _select_probes(c_scores, P: int, K: int, probe_sel_approx):
@@ -463,18 +486,20 @@ def _select_probes(c_scores, P: int, K: int, probe_sel_approx):
     Three regimes, all profiled on v5e (benches/profile_reduce.py,
     lab_pairs2.py):
 
-    * K >= 256 with enough 128-lane windows: top-2 per window via packed
-      keys (2 max passes, argmax-free) + one tiny exact top-P over the
-      window winners — 0.70 ms at [16k, 1405] vs 1.66 ms for iterated
+    * K >= 256 with enough 128-lane windows (nwin >= P, so no window must
+      contribute more than 2 of the selected P): top-2 per window via
+      packed keys (2 max passes, argmax-free) + one tiny exact top-P over
+      the window winners — 0.70 ms at [16k, 1405] vs 1.66 ms for iterated
       argmax. A probe is lost only when 3+ of the true top-P centroids
-      share one window (index order is arbitrary, so windows are a
-      random partition; the marginal last probe costs ~nothing).
+      share one window; the engine permutes cluster ids at build
+      (index/ivf.py) so windows really are a random partition of space
+      and that event stays rare.
     * small K, P <= 16: iterated argmax (exact).
     * else: approx_max_k / top_k.
     """
     B = c_scores.shape[0]
     nwin = (K + 127) // 128
-    if K >= 256 and 2 * nwin >= P:
+    if K >= 256 and nwin >= P:
         LM = jnp.int32(127)
         MK = _mask_key(128)
         KP = nwin * 128
@@ -514,6 +539,7 @@ def _pairs_candidates(
     q, centroids, c_dots, caff, probe, order, sorted_c, b_of,
     blocks_t, block_rns, block_inv_norms, block_keep,
     *, metric, k, compute_dtype, oversample, probe_approx, seg_width,
+    cluster_offset: int = 0,
 ):
     """Grouped-matmul candidate stage: ``ragged_dot`` of pair-sorted query
     rows against the resident block tensor (pairs = tokens, clusters =
@@ -543,11 +569,21 @@ def _pairs_candidates(
     ``best_flat`` indexes the flattened [K * Cmax] block grid; scores of
     masked entries are <= NEG_BIG (validity test: ``> NEG_BIG / 2``).
     Window-packed scores are quantized by log2(W) mantissa bits (~2^-18
-    relative at W=32), far below the bf16 noise already in the dots."""
+    relative at W=32), far below the bf16 noise already in the dots.
+
+    ``order`` may be a TRUNCATED pair list (M <= B*P rows — the sharded
+    engine keeps only pairs whose cluster lives on this shard,
+    parallel/sharded_ivf.py): pairs absent from ``order`` regroup to the
+    masked sentinel, and ``probe``/``caff`` stay full [B, P] replicated
+    shapes. ``blocks_t`` may then be a local slice whose cluster ids
+    ``sorted_c`` index, while ``probe`` carries ids in a larger global
+    space — ``best_flat`` is reconstructed from ``probe``, so it indexes
+    the GLOBAL [K_global * Cmax] grid."""
     B, d = q.shape
     K, _, Cmax = blocks_t.shape
     P = probe.shape[1]
     BP = B * P
+    M = order.shape[0]  # may be < BP (sharded local-pair truncation)
     group_sizes = jnp.bincount(sorted_c, length=K).astype(jnp.int32)
     qp = q[b_of]
     if metric in (DistanceType.EUCLIDEAN, DistanceType.SQUARED_EUCLIDEAN):
@@ -587,17 +623,28 @@ def _pairs_candidates(
         S = Cmax // W
         LM = jnp.int32(W - 1)
         MK = _mask_key(W)
-        keys = _pack_lane(scores, LM).reshape(BP, S, W)
+        keys = _pack_lane(scores, LM).reshape(M, S, W)
         m1 = jnp.max(keys, axis=2)
         r2 = jnp.where(keys == m1[:, :, None], MK, keys)
         m2 = jnp.max(r2, axis=2)
-        wins = jnp.concatenate([m1, m2], axis=1)  # i32[BP, 2S]
-        # regroup winners to queries (inverse permutation) — SMALL rows
-        inv = (
-            jnp.zeros(BP, jnp.int32)
-            .at[order]
-            .set(jnp.arange(BP, dtype=jnp.int32))
-        )
+        wins = jnp.concatenate([m1, m2], axis=1)  # i32[M, 2S]
+        # regroup winners to queries (inverse permutation) — SMALL rows;
+        # pairs not in `order` (sharded truncation) hit the sentinel row
+        if M < BP:
+            inv = (
+                jnp.full(BP, M, jnp.int32)
+                .at[order]
+                .set(jnp.arange(M, dtype=jnp.int32))
+            )
+            wins = jnp.concatenate(
+                [wins, jnp.full((1, 2 * S), MK, jnp.int32)]
+            )
+        else:
+            inv = (
+                jnp.zeros(BP, jnp.int32)
+                .at[order]
+                .set(jnp.arange(BP, dtype=jnp.int32))
+            )
         cand = wins[inv].reshape(B, P, 2 * S)
         if caff_p is not None:
             cand_f = _from_key(cand & ~LM) + caff[:, :, None]
@@ -637,13 +684,26 @@ def _pairs_candidates(
         )
     else:
         s_pair, pos = jax.lax.top_k(scores, R)
-    fpos = sorted_c[:, None] * Cmax + pos  # [BP, R] flat block position
+    # flat block positions in the GLOBAL cluster grid (cluster_offset
+    # rebases local ids for the sharded engine)
+    fpos = (sorted_c + cluster_offset)[:, None] * Cmax + pos  # [M, R]
 
-    inv = (
-        jnp.zeros(BP, jnp.int32)
-        .at[order]
-        .set(jnp.arange(BP, dtype=jnp.int32))
-    )
+    if M < BP:
+        inv = (
+            jnp.full(BP, M, jnp.int32)
+            .at[order]
+            .set(jnp.arange(M, dtype=jnp.int32))
+        )
+        s_pair = jnp.concatenate(
+            [s_pair, jnp.full((1, R), NEG_BIG, s_pair.dtype)]
+        )
+        fpos = jnp.concatenate([fpos, jnp.zeros((1, R), fpos.dtype)])
+    else:
+        inv = (
+            jnp.zeros(BP, jnp.int32)
+            .at[order]
+            .set(jnp.arange(BP, dtype=jnp.int32))
+        )
     cand_s = s_pair[inv].reshape(B, P * R)
     cand_f = fpos[inv].reshape(B, P * R)
     n_sur = min(k * oversample, P * R)

@@ -1,0 +1,180 @@
+"""Sharded IVF tests on the virtual 8-device CPU mesh: the cluster-sharded
+engine matches the single-chip engine's quality, masks/negatives/writes/
+topology behave, and the reserved-cluster id layout holds its invariants
+(SURVEY.md §4: same suite on 1 device and on a mesh of N; VERDICT r2
+missing #1)."""
+
+import jax
+import numpy as np
+import pytest
+
+from quiver_tpu.core.store import VectorStore
+from quiver_tpu.index.exact import ExactIndex
+from quiver_tpu.index.ivf import IVFConfig, IVFIndex
+from quiver_tpu.parallel.sharded import make_mesh
+from quiver_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+D = 32
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest should provide 8 CPU devices"
+    return make_mesh(8)
+
+
+def clustered(n, n_centers=40, seed=0, scale=0.15):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_centers, D)).astype(np.float32)
+    which = rng.integers(0, n_centers, n)
+    return (centers[which] + scale * rng.normal(size=(n, D))).astype(np.float32)
+
+
+def make(mesh, n=5000, metric="euclidean", n_probe=8, **cfg):
+    vecs = clustered(n)
+    store = VectorStore(dim=D, metric=metric)
+    slots = store.add_batch([f"v{i}" for i in range(n)], vecs)
+    eng = ShardedIVFIndex(
+        store, mesh,
+        config=IVFConfig(
+            n_probe=n_probe, build_threshold=256, rescore=False, **cfg
+        ),
+    )
+    eng.on_insert(slots, vecs)
+    return store, vecs, eng
+
+
+def recall_vs_oracle(store, eng, q, k=10):
+    _, oi = ExactIndex(store).search_slots(q, k)
+    _, gi = eng.search_slots(q, k)
+    return np.mean([
+        len(set(gi[b].tolist()) & set(oi[b].tolist())) / k
+        for b in range(len(q))
+    ])
+
+
+def test_sharded_layout_invariants(mesh):
+    store, vecs, eng = make(mesh)
+    assert eng._built
+    live = eng._cluster_live
+    KL = eng._k_local
+    assert len(live) == 8 * KL
+    # every shard has at least one reserved (non-live) id — the pad sentinel
+    for s in range(8):
+        assert not live[(s + 1) * KL - 1]
+    # reserved clusters hold no rows
+    keep = np.asarray(eng._block_keep)
+    assert not keep[~live].any()
+    # every live row is in a live cluster
+    pos = eng._slot_pos[eng._slot_pos[:, 0] >= 0]
+    assert live[pos[:, 0]].all()
+
+
+def test_sharded_self_recall(mesh):
+    store, vecs, eng = make(mesh)
+    d, i = eng.search_slots(vecs[:64], k=1)
+    assert (i[:, 0] == np.arange(64)).mean() >= 0.98
+    # score-derived distances carry bf16-residual noise (no exact rescore)
+    assert (d[:, 0] < 0.2).mean() >= 0.98
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "cosine", "dot_product"])
+def test_sharded_matches_single_chip_quality(mesh, metric):
+    store, vecs, eng = make(mesh, metric=metric, n_probe=16)
+    rng = np.random.default_rng(5)
+    q = (vecs[:48] + 0.05 * rng.normal(size=(48, D))).astype(np.float32)
+    r_sharded = recall_vs_oracle(store, eng, q)
+    single = IVFIndex(
+        store,
+        config=IVFConfig(n_probe=16, build_threshold=256, rescore=False),
+    )
+    single.build()
+    r_single = recall_vs_oracle(store, single, q)
+    assert r_sharded >= r_single - 0.02
+    assert r_sharded >= 0.9
+
+
+def test_sharded_results_sorted(mesh):
+    store, vecs, eng = make(mesh)
+    d, i = eng.search_slots(vecs[:8], k=10)
+    for b in range(8):
+        live = d[b][i[b] >= 0]
+        assert (np.diff(live) >= -1e-6).all()
+
+
+def test_sharded_mask_fused(mesh):
+    store, vecs, eng = make(mesh, n_probe=16)
+    allowed = np.arange(0, 5000, 7)
+    mask = np.zeros(store.capacity, bool)
+    mask[allowed] = True
+    _, i = eng.search_slots(vecs[:16], k=10, mask=mask)
+    got = i[i >= 0]
+    assert len(got) and np.isin(got, allowed).all()
+
+
+def test_sharded_negative_rerank(mesh):
+    store, vecs, eng = make(mesh, n_probe=16)
+    q = vecs[:4]
+    neg = vecs[100:104]
+    d0, i0 = eng.search_slots(q, k=5)
+    d1, i1 = eng.search_slots(q, k=5, negative=neg, negative_weight=5.0)
+    # a strong negative pull must change some ranking
+    assert not np.array_equal(i0, i1)
+
+
+def test_sharded_write_paths(mesh):
+    store, vecs, eng = make(mesh, n=4000)
+    new = clustered(16, seed=9) + 0.01
+    slots = store.add_batch([f"n{j}" for j in range(16)], new)
+    eng.on_insert(slots, new)
+    _, i = eng.search_slots(new, k=1)
+    assert (i[:, 0] == np.asarray(slots)).mean() >= 0.9
+    # delete: masked out at query time
+    store.delete("n0")
+    eng.on_delete(np.asarray([slots[0]]))
+    _, i = eng.search_slots(new[:1], k=1)
+    assert i[0, 0] != slots[0]
+
+
+def test_sharded_insert_lands_in_live_cluster(mesh):
+    store, vecs, eng = make(mesh, n=4000)
+    new = clustered(8, seed=11)
+    slots = store.add_batch([f"m{j}" for j in range(8)], new)
+    eng.on_insert(slots, new)
+    live = eng._cluster_live
+    for s in slots:
+        c = eng._slot_pos[s, 0]
+        if c >= 0:
+            assert live[c]
+
+
+def test_sharded_topology_roundtrip(mesh):
+    store, vecs, eng = make(mesh)
+    data = eng.export_topology()
+    assert data is not None and bytes(data["kind"]) == b"ivf"
+    eng2 = ShardedIVFIndex(
+        store, mesh,
+        config=IVFConfig(n_probe=8, build_threshold=256, rescore=False),
+    )
+    eng2.import_topology(data, np.arange(store.capacity))
+    assert eng2._built and eng2._k_local == eng._k_local
+    q = vecs[:16]
+    d1, i1 = eng.search_slots(q, k=5)
+    d2, i2 = eng2.search_slots(q, k=5)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_sharded_rescore_rejected(mesh):
+    store = VectorStore(dim=D, metric="euclidean")
+    with pytest.raises(ValueError, match="rescore"):
+        ShardedIVFIndex(
+            store, mesh, config=IVFConfig(rescore=True)
+        )
+
+
+def test_make_engine_kind(mesh):
+    from quiver_tpu.index import make_engine
+
+    store = VectorStore(dim=D, metric="euclidean")
+    eng = make_engine("sharded_ivf", store, mesh=mesh)
+    assert eng.name == "sharded_ivf" and not eng.config.rescore
