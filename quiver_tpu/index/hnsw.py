@@ -126,7 +126,7 @@ def _fused_build_step(
     slots_s = slots[order]
     levels_s = levels[order]
 
-    out_adjs, out_fills = [], []
+    out_adjs, out_fills, out_changed = [], [], []
     spill = jnp.int32(0)
     for b_l, adj, fill, pos, lvl, u_b in zip(
         b_ls, c_adjs, c_fills, c_poss, c_lvls, u_budgets
@@ -153,15 +153,20 @@ def _fused_build_step(
             compute_dtype=compute_dtype,
         )
         sel_i = jnp.where(connect[:, None], sel_i, -1)
-        adj, fill, sp = connect_level(
+        adj_new, fill, sp = connect_level(
             adj, fill, pos, vectors, slots_l, connect, sel_i,
             metric=metric, u_budget=u_b, e_budget=e_budget,
             compute_dtype=compute_dtype,
         )
+        # changed-row mask (reverse edges can rewrite ANY existing row):
+        # computed in-program, before the donated input buffer is reused —
+        # external mirrors (the sharded stack) scatter just these rows
+        out_changed.append(jnp.any(adj_new != adj, axis=1))
+        adj = adj_new
         out_adjs.append(adj)
         out_fills.append(fill)
         spill = spill + sp
-    return tuple(out_adjs), tuple(out_fills), spill
+    return tuple(out_adjs), tuple(out_fills), spill, tuple(out_changed)
 
 
 @dataclass
@@ -210,6 +215,44 @@ class _Layer:
         self._pos_dev = None  # jnp [capacity]
         self._pos_pending: list[int] = []
         self._pos_full_sync = True
+        # mutated-row feed for external mirrors (the sharded stack
+        # scatters just these rows instead of restacking — see
+        # parallel/sharded_graph.py); None = everything is dirty
+        self._dirty_rows: Optional[list] = None
+
+    # ------------------------------------------------------- mutation feed
+
+    def _note_rows(self, rows) -> None:
+        if self._dirty_rows is not None:
+            self._dirty_rows.append(np.asarray(rows, np.int64))
+
+    def _note_changed_mask(self, mask) -> None:
+        """Record a DEVICE bool[rows] changed-row mask (kept lazy — the
+        fused build step rewrites whole adjacency arrays, and back-edges
+        can land on any existing row; the mask is resolved to indices only
+        when a mirror actually drains)."""
+        if self._dirty_rows is not None:
+            self._dirty_rows.append(mask)
+
+    def drain_dirty_rows(self) -> Optional[np.ndarray]:
+        """Adjacency rows mutated since the last drain. ``None`` means the
+        caller must fully re-mirror (capacity growth, bulk import, or no
+        tracking yet). Draining arms tracking for subsequent mutations."""
+        out: Optional[np.ndarray]
+        if self._dirty_rows is None:
+            out = None
+        else:
+            parts = [
+                item if isinstance(item, np.ndarray)
+                else np.flatnonzero(np.asarray(item)).astype(np.int64)
+                for item in self._dirty_rows
+            ]
+            out = (
+                np.unique(np.concatenate(parts))
+                if parts else np.zeros(0, np.int64)
+            )
+        self._dirty_rows = []
+        return out
 
     # ------------------------------------------------------------- host side
 
@@ -232,6 +275,7 @@ class _Layer:
         self._host_stale = False
         self._adj_dev = None
         self._fill_dev = None
+        self._dirty_rows = None  # bulk replacement: mirrors must resync
 
     def add_nodes(self, slots: np.ndarray) -> None:
         base = len(self.nodes)
@@ -245,6 +289,7 @@ class _Layer:
             )
         self.pos[slots] = base + np.arange(len(slots), dtype=np.int32)
         self._pos_pending.extend(int(x) for x in slots)
+        self._note_rows(np.arange(base, base + len(slots)))
 
     def grow_capacity(self, capacity: int) -> None:
         extra = capacity - len(self.pos)
@@ -255,6 +300,7 @@ class _Layer:
             _ = self.adj
             self._adj_dev = None
             self._fill_dev = None
+            self._dirty_rows = None  # shape change: mirrors must resync
 
     def remove_nodes(self, slots: np.ndarray) -> None:
         # tombstone: keep the row (queries skip invalid ids via the valid
@@ -311,6 +357,7 @@ class _Layer:
         )
         self.fill[rows] = counts.astype(np.int16)
         self._host_stale = True
+        self._note_rows(rows)
 
 
 class HNSWIndex:
@@ -475,7 +522,7 @@ class HNSWIndex:
         s_pad[: len(slots)] = slots
         l_pad = np.full(B, -1, np.int32)
         l_pad[: len(slots)] = levels
-        out_adjs, out_fills, spill = _fused_build_step(
+        out_adjs, out_fills, spill, out_changed = _fused_build_step(
             jnp.asarray(q_pad), jnp.asarray(s_pad), jnp.asarray(l_pad),
             dev.vectors, dev.valid, dev.norms_sq, dev.inv_norms,
             tuple(c_adjs), tuple(c_fills), tuple(c_poss),
@@ -488,7 +535,10 @@ class HNSWIndex:
             tile=tile,
             approx=c.build_approx,
         )
-        for layer, adj_new, fill_new in zip(c_layers, out_adjs, out_fills):
+        for layer, adj_new, fill_new, changed in zip(
+            c_layers, out_adjs, out_fills, out_changed
+        ):
+            layer._note_changed_mask(changed)
             layer._adj_dev = adj_new
             layer._fill_dev = fill_new
             layer._host_stale = True
