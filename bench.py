@@ -35,7 +35,9 @@ REFERENCE_BATCHED_QPS_PER_CORE = 149_254.0
 N, D, K = 1_000_000, 128, 10
 N_CENTERS = 1000
 B = int(os.environ.get("QUIVER_BENCH_B", 16384))
-N_PROBE = int(os.environ.get("QUIVER_BENCH_NPROBE", 4))
+# n_probe=3 on the permuted-id layout: recall 0.980 (>= the 0.95 gate
+# with margin) at ~19% more QPS than n_probe=4 — swept 2026-08-17
+N_PROBE = int(os.environ.get("QUIVER_BENCH_NPROBE", 3))
 B_ORACLE = 2048
 PIPELINE_DEPTH = 32
 ROUNDS = 3
