@@ -191,6 +191,14 @@ class HNSWConfig:
     #: (None = exact full sort; 0.95 trades invisible candidate loss at
     #: efC=200 depth for the much cheaper TPU partial reduce)
     build_approx: Optional[float] = 0.95
+    #: matmul input dtype for QUERY-path distances ("float32"|"bfloat16").
+    #: Queries default to f32 even when the engine builds in bf16: bf16
+    #: input rounding (~0.4% of |q||v|) exceeds the 10th-vs-11th neighbor
+    #: distance gap at SIFT-like scales, capping recall ~0.92 regardless
+    #: of ef (the round-2 plateau). Construction tolerates bf16 candidates
+    #: — the diversity heuristic needs only coarse ordering — and keeps
+    #: the build's [B, N, d] MXU scans at full bf16 rate.
+    query_dtype: str = "float32"
     seed: int = 42
 
 
@@ -401,6 +409,12 @@ class HNSWIndex:
 
     def _metric(self) -> str:
         return self.store.metric.value
+
+    def _query_dtype(self):
+        return (
+            jnp.bfloat16 if self.config.query_dtype == "bfloat16"
+            else jnp.float32
+        )
 
     # ------------------------------------------------------------- write API
 
@@ -618,12 +632,13 @@ class HNSWIndex:
             "m": c.m,
             "m0": c.m0,
             "visited": c.visited,
+            "query_dtype": c.query_dtype,
         }
 
     def set_optimization_parameters(self, **params) -> None:
-        """Query-time knobs (ef_search, visited) are settable post-build,
-        like the reference's EfSearch (adapter.go:175-190); construction
-        parameters are immutable."""
+        """Query-time knobs (ef_search, visited, query_dtype) are settable
+        post-build, like the reference's EfSearch (adapter.go:175-190);
+        construction parameters are immutable."""
         if "ef_search" in params:
             ef = int(params["ef_search"])
             if ef <= 0:
@@ -634,7 +649,12 @@ class HNSWIndex:
             if v not in ("ring", "bitmap"):
                 raise ValueError("visited must be 'ring' or 'bitmap'")
             self.config.visited = v
-        unknown = set(params) - {"ef_search", "visited"}
+        if "query_dtype" in params:
+            qd = str(params["query_dtype"])
+            if qd not in ("float32", "bfloat16"):
+                raise ValueError("query_dtype must be 'float32' or 'bfloat16'")
+            self.config.query_dtype = qd
+        unknown = set(params) - {"ef_search", "visited", "query_dtype"}
         if unknown:
             raise ValueError(f"immutable or unknown parameters: {sorted(unknown)}")
 
@@ -759,16 +779,17 @@ class HNSWIndex:
         B = q_pad.shape[0]
         entries = jnp.full((B,), self.entry_point, jnp.int32)
         layers, adj0, pos0 = self._device_graph()
+        qdt = self._query_dtype()
         for adj, pos in layers:
             _, entries = greedy_descent(
                 qd, entries, dev.vectors, dev.valid, adj, pos,
-                metric=self._metric(), compute_dtype=self.compute_dtype,
+                metric=self._metric(), compute_dtype=qdt,
             )
         bd, bi = beam_search(
             qd, entries, dev.vectors, dev.valid, adj0, pos0,
             metric=self._metric(), ef=ef,
             max_iters=int(1.5 * ef) + 8,
-            compute_dtype=self.compute_dtype,
+            compute_dtype=qdt,
             visited=c.visited,
         )
         if negative is not None:

@@ -195,10 +195,14 @@ def beam_search(
             jnp.where(unexp, bd, MASKED_DIST), axis=1
         )  # nearest unexpanded distance
         has_work = cur_d0 < MASKED_DIST
-        # classic termination: nearest unexpanded is worse than the beam's
-        # worst filled entry (hnsw.go:508-514)
-        worst = jnp.max(jnp.where(bi >= 0, bd, -MASKED_DIST), axis=1)
-        beam_full = jnp.sum(bi >= 0, axis=1) >= beam_len
+        # classic termination: nearest unexpanded is worse than the worst of
+        # the TOP-ef beam entries (hnsw.go:508-514). The beam is sorted
+        # ascending, so that's simply column ef-1 — using the whole padded
+        # beam here made ef=50 and ef=100 searches identical (beam_len
+        # quantizes to the same pow2), flattening the recall-vs-ef curve.
+        kk_t = min(ef, beam_len)
+        worst = bd[:, kk_t - 1]
+        beam_full = bi[:, kk_t - 1] >= 0
         newly_done = ~has_work | (beam_full & (cur_d0 > worst))
         done = done | newly_done
         active = ~done

@@ -483,7 +483,7 @@ class ShardedHNSWIndex:
             qd, entries, vecs, valid, l2g, layers, adj0, pos0,
             mesh=self.mesh, metric=self._metric(), ef=ef,
             max_iters=int(1.5 * ef) + 8, k=retrieve_k,
-            compute_dtype=self.compute_dtype,
+            compute_dtype=self._subs[0]._query_dtype(),
         )
         if negative is not None:
             neg_np = np.asarray(negative, np.float32)
