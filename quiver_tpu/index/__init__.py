@@ -53,17 +53,39 @@ def make_engine(kind: str, store, **cfg):
     if kind == "sharded_hybrid":
         from quiver_tpu.index.hybrid import HybridIndex
         from quiver_tpu.parallel.sharded import ShardedExactIndex, make_mesh
-        from quiver_tpu.parallel.sharded_graph import ShardedHNSWIndex
 
         mesh = cfg.pop("mesh", None) or make_mesh()
         compute_dtype = cfg.get("compute_dtype")
         dtype_kw = {"compute_dtype": compute_dtype} if compute_dtype is not None else {}
-        hnsw_cfg = dict(cfg)
-        hnsw_cfg.pop("adaptive_config", None)
+        backend = cfg.pop("ann_backend", "auto")
+        ivf_config = cfg.pop("ivf_config", None)
+        if backend == "auto":
+            # same resolution rule as the single-chip HybridIndex: explicit
+            # graph kwargs mean the caller wants the graph; otherwise the
+            # TPU-first IVF engine serves the ANN side
+            hnsw_keys = {
+                "m", "m0", "ef_construction", "ef_search", "max_level",
+                "level_prob", "build_batch", "visited", "build_approx",
+                "query_dtype",
+            }
+            backend = "hnsw" if (hnsw_keys & set(cfg)) else "ivf"
+        if backend == "ivf":
+            from quiver_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+            ivf_kw = dict(dtype_kw)
+            if ivf_config is not None:
+                ivf_kw["config"] = ivf_config
+            ann_factory = lambda s: ShardedIVFIndex(s, mesh, **ivf_kw)
+        else:
+            from quiver_tpu.parallel.sharded_graph import ShardedHNSWIndex
+
+            hnsw_cfg = dict(cfg)
+            hnsw_cfg.pop("adaptive_config", None)
+            ann_factory = lambda s: ShardedHNSWIndex(s, mesh, **hnsw_cfg)
         return HybridIndex(
             store,
             adaptive_config=cfg.get("adaptive_config"),
             exact_factory=lambda s: ShardedExactIndex(s, mesh, **dtype_kw),
-            ann_factory=lambda s: ShardedHNSWIndex(s, mesh, **hnsw_cfg),
+            ann_factory=ann_factory,
         )
     raise ValueError(f"unknown index engine: {kind!r}")
