@@ -26,7 +26,7 @@ from benches.common import (
     recall_at_k,
 )
 
-CACHE = "/tmp/hnsw_exp_topo_{n}.npz"
+CACHE = "/tmp/hnsw_exp_topo_{n}_v2.npz"  # v2: keep_pruned build
 
 
 def main():
@@ -56,8 +56,11 @@ def main():
     queries = (vecs[:B] + 0.1 * rng.normal(size=(B, D))).astype(np.float32)
     exact = ExactIndex(store)
     _, truth = exact.search_slots(queries, K)
+    from benches.truth import exact_truth_f64, recall_with_ties
 
-    for qd in ("bfloat16", "float32"):
+    d10 = exact_truth_f64(queries, vecs, K)[1][:, K - 1]
+
+    for qd in ("float32", "bfloat16"):
         for visited in ("ring", "bitmap"):
             for ef in (50, 100, 200, 400):
                 idx.set_optimization_parameters(
@@ -65,12 +68,16 @@ def main():
                 )
                 _, got = idx.search_slots(queries, K)
                 rec = recall_at_k(got, truth, K)
+                rec_ties = recall_with_ties(
+                    np.asarray(got), queries, vecs, d10, K
+                )
                 ms = pipelined_ms(
                     lambda: idx.search_slots(queries, K), depth=4
                 )
                 emit(
                     f"hnsw sweep N={N} qd={qd} visited={visited} ef={ef}",
                     B / (ms / 1e3), "qps", recall_at_10=round(rec, 4),
+                    recall_at_10_ties=round(rec_ties, 4),
                 )
 
 
