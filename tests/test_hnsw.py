@@ -187,3 +187,64 @@ def test_config_defaults_match_reference():
     assert (c.m, c.m0, c.ef_construction, c.ef_search, c.max_level) == (
         16, 32, 200, 100, 16,
     )
+
+
+def test_select_neighbors_keep_pruned_fills_degree():
+    """keep_pruned back-fills occluded candidates: diversity decides the
+    ORDER, not the edge count (hnswlib keepPrunedConnections)."""
+    import jax.numpy as jnp
+
+    from quiver_tpu.ops.hnsw_kernels import select_neighbors
+
+    # one tight clump near the query plus two far outliers: the occlusion
+    # rule alone would keep ~1 clump member + the outliers
+    rng = np.random.default_rng(0)
+    d = 8
+    clump = 0.01 * rng.normal(size=(6, d)).astype(np.float32)
+    far = np.stack([np.full(d, 5.0), np.full(d, -5.0)]).astype(np.float32)
+    vectors = np.concatenate([clump, far]).astype(np.float32)
+    q = np.zeros((1, d), np.float32)
+    ids = np.arange(8, dtype=np.int32)[None, :]
+    dist = np.linalg.norm(vectors - q[0], axis=1)[None, :].astype(np.float32)
+
+    kept_i, kept_d = select_neighbors(
+        jnp.asarray(q), jnp.asarray(ids), jnp.asarray(dist),
+        jnp.asarray(vectors), metric="euclidean", m=6, keep_pruned=True,
+    )
+    pruned_i, _ = select_neighbors(
+        jnp.asarray(q), jnp.asarray(ids), jnp.asarray(dist),
+        jnp.asarray(vectors), metric="euclidean", m=6, keep_pruned=False,
+    )
+    n_kept = int((np.asarray(kept_i)[0] >= 0).sum())
+    n_pruned = int((np.asarray(pruned_i)[0] >= 0).sum())
+    assert n_kept == 6, "back-fill must reach the full degree"
+    assert n_pruned < n_kept, "occlusion-only must prune the clump"
+    # the diversity winners must still lead the kept list
+    lead = set(np.asarray(pruned_i)[0][np.asarray(pruned_i)[0] >= 0].tolist())
+    assert lead <= set(np.asarray(kept_i)[0].tolist())
+    # distances stay aligned with ids and ascending within groups
+    kd = np.asarray(kept_d)[0]
+    ki = np.asarray(kept_i)[0]
+    true_d = np.linalg.norm(vectors[ki] - q[0], axis=1)
+    np.testing.assert_allclose(kd, true_d, rtol=1e-5, atol=1e-5)
+
+
+def test_ef_changes_beam_behavior():
+    """Termination is ef-faithful: a larger ef explores at least as much
+    (round-2 bug: ef=50 and ef=100 compiled to the identical search)."""
+    store, idx, vecs = build(n=3000, seed=3)
+    q = (vecs[:64] + 0.15 * np.random.default_rng(9).normal(
+        size=(64, vecs.shape[1]))).astype(np.float32)
+    exact = ExactIndex(store)
+    _, truth = exact.search_slots(q, 10)
+    recs = []
+    for ef in (16, 64, 256):
+        idx.set_optimization_parameters(ef_search=ef)
+        _, got = idx.search_slots(q, 10)
+        hit = np.mean([
+            len(set(got[b].tolist()) & set(truth[b].tolist())) / 10
+            for b in range(len(got))
+        ])
+        recs.append(hit)
+    assert recs[-1] >= recs[0] - 1e-9
+    assert recs[-1] >= 0.9
