@@ -37,18 +37,25 @@ def main():
     emit(f"hnsw build wall-clock, N={N} d={D} M=16 efC=200", build_s, "s",
          inserts_per_s=round(N / build_s, 1))
 
-    # near-corpus queries + EXACT f32 oracle for truth (an approximate or
-    # bf16 oracle makes recall unmeasurable — VERDICT.md weak #6)
+    # near-corpus queries + EXACT oracles: f32 set-intersection recall AND
+    # the tie-aware f64 recall the headline bench uses (clustered corpora
+    # carry near-exact ties at the boundary rank — a returned row at the
+    # k-th distance with a different id is not a miss)
+    from benches.truth import exact_truth_f64, recall_with_ties
+
     queries = (vecs[:B] + 0.1 * rng.normal(size=(B, D))).astype(np.float32)
     exact = ExactIndex(store)
     _, truth = exact.search_slots(queries, K)
+    d10 = exact_truth_f64(queries, vecs, K)[1][:, K - 1]
     for ef in (50, 100, 200):
         idx.config.ef_search = ef
         _, got = idx.search_slots(queries, K)
         rec = recall_at_k(got, truth, K)
+        rec_t = recall_with_ties(np.asarray(got), queries, vecs, d10, K)
         ms = pipelined_ms(lambda: idx.search_slots(queries, K), depth=4)
         emit(f"hnsw query QPS, N={N} ef={ef}", B / (ms / 1e3), "qps",
-             recall_at_10=round(rec, 4))
+             recall_at_10=round(rec, 4),
+             recall_at_10_ties=round(rec_t, 4))
 
 
 if __name__ == "__main__":
