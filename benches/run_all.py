@@ -10,6 +10,7 @@ MODULES = [
     "benches.bench_hybrid",
     "benches.bench_filtered",
     "benches.bench_persistence",
+    "benches.bench_streaming",
 ]
 
 if __name__ == "__main__":
