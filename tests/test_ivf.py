@@ -296,3 +296,36 @@ def test_fused_formulation_matches_einsum():
         np.testing.assert_allclose(
             np.where(sel, d_e, 0), np.where(sel, d_f, 0),
             rtol=1e-4, atol=1e-4)
+
+
+def test_ivf_batch_insert_skewed_placement():
+    """The vectorized placement (sort + in-batch rank + fill offset) must
+    match per-row semantics when a batch concentrates on few clusters:
+    positions unique per cluster, fill counters exact, all rows findable,
+    rows past cmax spill to overflow."""
+    store, vecs, eng = make(n=4000, n_probe=40)
+    cmax = eng._block_slot.shape[1]
+    # aim a batch at ONE cluster's centroid: fills it to the brim
+    target = int(np.argmax(eng._fill))
+    room = cmax - int(eng._fill[target])
+    n_new = room + 7  # guaranteed overflow
+    rng = np.random.default_rng(3)
+    new = (eng._centroids[target][None, :]
+           + 0.01 * rng.normal(size=(n_new, D))).astype(np.float32)
+    slots = store.add_batch([f"sk{j}" for j in range(n_new)], new)
+    fill_before = eng._fill.copy()
+    eng.on_insert(np.asarray(slots), new)
+    placed = eng._slot_pos[slots]
+    ok = placed[:, 0] >= 0
+    # every placed row's (cluster, pos) is unique and pos < cmax
+    pairs = {(int(r), int(p)) for r, p in placed[ok]}
+    assert len(pairs) == int(ok.sum())
+    assert (placed[ok, 1] < cmax).all()
+    # fill deltas equal the number of rows placed per cluster
+    delta = eng._fill - fill_before
+    counts = np.bincount(placed[ok, 0], minlength=len(eng._fill))
+    np.testing.assert_array_equal(delta, counts)
+    # overflow absorbed the rest, and EVERY new row is findable
+    assert len(eng._overflow) >= n_new - int(ok.sum())
+    _, gi = eng.search_slots(new, k=1)
+    assert (gi[:, 0] == np.asarray(slots)).mean() >= 0.95
