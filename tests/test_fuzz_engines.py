@@ -1,0 +1,142 @@
+"""Fuzz-style random op sequences on the ANN engines against a dict-model
+oracle.
+
+Extends the Collection-level fuzz (tests/test_stress.py) down to the engine
+layer, mirroring the reference's per-engine randomized suites
+(pkg/hnsw/hnsw_property_test.go:181-238, pkg/hybrid/hybrid_property_test.go:151):
+interleaved insert/delete/update/search on one live index, with live-recall
+(not strict-equality) assertions on the approximate engines and strict
+top-k equality wherever the engine falls back to its exact path."""
+
+import numpy as np
+
+from quiver_tpu.core.store import VectorStore
+from quiver_tpu.index.exact import ExactIndex
+from quiver_tpu.index.hnsw import HNSWIndex
+from quiver_tpu.index.ivf import IVFConfig, IVFIndex
+
+D = 16
+K = 5
+
+
+def _clustered(rng, n):
+    centers = rng.normal(size=(12, D)).astype(np.float32)
+    which = rng.integers(0, 12, n)
+    return (centers[which] + 0.2 * rng.normal(size=(n, D))).astype(np.float32)
+
+
+def _run_fuzz(make_engine, seed, steps=120, min_live_recall=0.85):
+    """Random insert/delete/update/search; every search is scored against
+    the exact oracle over the LIVE corpus (late rows count against an
+    engine that hides them)."""
+    rng = np.random.default_rng(seed)
+    store = VectorStore(dim=D, metric="euclidean", capacity=4096)
+    eng = make_engine(store)
+    exact = ExactIndex(store)
+    model: dict[str, np.ndarray] = {}
+    next_id = 0
+    recalls = []
+    # seed corpus so the ANN structures actually engage
+    base = _clustered(rng, 600)
+    ids = [f"b{i}" for i in range(600)]
+    slots = store.add_batch(ids, base)
+    eng.on_insert(np.asarray(slots), base)
+    model.update(zip(ids, base))
+
+    for step in range(steps):
+        op = rng.random()
+        if op < 0.35:
+            nb = int(rng.integers(1, 24))
+            rows = _clustered(rng, nb)
+            new_ids = [f"f{next_id + j}" for j in range(nb)]
+            next_id += nb
+            s = store.add_batch(new_ids, rows)
+            eng.on_insert(np.asarray(s), rows)
+            model.update(zip(new_ids, rows))
+        elif op < 0.5 and len(model) > 50:
+            vid = str(rng.choice(list(model.keys())))
+            slot = store.slot_of(vid)
+            store.delete(vid)
+            eng.on_delete(np.asarray([slot]))
+            del model[vid]
+        elif op < 0.6 and model:
+            vid = str(rng.choice(list(model.keys())))
+            row = _clustered(rng, 1)[0]
+            slot = store.slot_of(vid)
+            store.update_batch([vid], row[None, :])
+            eng.on_update(np.asarray([slot]), row[None, :])
+            model[vid] = row
+        else:
+            q = _clustered(rng, 3)
+            _, got = eng.search_slots(q, K)
+            _, truth = exact.search_slots(q, K)
+            live = set(store.live_slots().tolist())
+            for b in range(len(q)):
+                got_b = [g for g in got[b].tolist() if g >= 0]
+                # no dead or duplicate slots ever surface
+                assert len(got_b) == len(set(got_b)), f"step {step}: dup slots"
+                assert all(g in live for g in got_b), f"step {step}: dead slot"
+                want = [t for t in truth[b].tolist() if t >= 0]
+                k_eff = min(K, len(model))
+                assert len(got_b) == k_eff, f"step {step}: underfilled"
+                recalls.append(
+                    len(set(got_b) & set(want)) / max(1, len(want)))
+    assert store.size == len(model)
+    assert np.mean(recalls) >= min_live_recall, (
+        f"live recall {np.mean(recalls):.3f} < {min_live_recall}")
+
+
+def test_fuzz_hnsw_random_ops():
+    _run_fuzz(
+        lambda s: HNSWIndex(s, build_batch=256),
+        seed=100,
+    )
+
+
+def test_fuzz_ivf_random_ops():
+    _run_fuzz(
+        lambda s: IVFIndex(s, config=IVFConfig(
+            n_probe=8, build_threshold=256)),
+        seed=200,
+    )
+
+
+def test_fuzz_exact_strict():
+    """The exact engine under the same churn must match the oracle
+    exactly (it IS the oracle path — this checks store bookkeeping:
+    slot reuse, tombstones, update aliasing)."""
+    rng = np.random.default_rng(7)
+    store = VectorStore(dim=D, metric="euclidean", capacity=2048)
+    eng = ExactIndex(store)
+    model: dict[str, np.ndarray] = {}
+    next_id = 0
+    for step in range(200):
+        op = rng.random()
+        if op < 0.45 or not model:
+            vid = f"e{next_id}"
+            next_id += 1
+            row = rng.normal(size=D).astype(np.float32)
+            store.add_batch([vid], row[None, :])
+            model[vid] = row
+        elif op < 0.65:
+            vid = str(rng.choice(list(model.keys())))
+            store.delete(vid)
+            del model[vid]
+        elif op < 0.75:
+            vid = str(rng.choice(list(model.keys())))
+            row = rng.normal(size=D).astype(np.float32)
+            store.update_batch([vid], row[None, :])
+            model[vid] = row
+        else:
+            q = rng.normal(size=(2, D)).astype(np.float32)
+            _, got = eng.search_slots(q, K)
+            for b in range(2):
+                dists = [float(np.sum((q[b] - v) ** 2)) for v in model.values()]
+                want_sorted = sorted(dists)[:K]
+                got_b = [g for g in got[b].tolist() if g >= 0]
+                got_d = [float(np.sum((q[b] - np.asarray(
+                    store.vector_of_slot(g))) ** 2)) for g in got_b]
+                assert len(got_b) == min(K, len(model)), f"step {step}"
+                for gd, wd in zip(got_d, want_sorted):
+                    assert abs(gd - wd) < 1e-3, f"step {step}: {gd} vs {wd}"
+    assert store.size == len(model)
