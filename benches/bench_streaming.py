@@ -96,6 +96,17 @@ def main():
     exact = ExactIndex(store)
     _stream(eng, store, corpus, N, exact, rng, "ivf")
 
+    # rebuild-under-churn walls (VERDICT r2 weak #8): the cheap re-layout
+    # on existing centroids vs a full k-means retrain, at post-stream scale
+    t0 = time.perf_counter()
+    eng.refresh()
+    emit(f"ivf refresh wall (existing centroids), N={store.size}",
+         time.perf_counter() - t0, "s")
+    t0 = time.perf_counter()
+    eng.build()
+    emit(f"ivf full rebuild wall (k-means retrain), N={store.size}",
+         time.perf_counter() - t0, "s", n_clusters=eng.n_clusters)
+
     # ---------------- HNSW
     g_store = VectorStore(dim=D, metric="euclidean", capacity=total)
     g_slots = g_store.add_batch([f"v{i}" for i in range(N)], corpus[:N])

@@ -66,6 +66,13 @@ def _mask_block_keep(block_keep, block_slot, slot_mask):
     return block_keep & slot_mask[jnp.maximum(block_slot, 0)]
 
 
+@jax.jit
+def _nearest_centroid(v, cent, c_ns, live):
+    """argmax of the affine nearest-centroid score, reserved ids masked."""
+    s = 2.0 * (v @ cent.T) - c_ns[None, :]
+    return jnp.argmax(jnp.where(live[None, :], s, -jnp.inf), axis=1)
+
+
 @dataclass
 class IVFConfig:
     #: clusters; None = auto (pow2 nearest 4*sqrt(N) at build time)
@@ -108,8 +115,14 @@ class IVFConfig:
     rescore: bool = True
     #: below this many rows the exact scan is used (and is faster anyway)
     build_threshold: int = 8192
-    #: rebuild when (inserts+deletes since build) / built_size exceeds this
+    #: re-layout (cheap :meth:`IVFIndex.refresh`, existing centroids) when
+    #: (inserts+deletes since build) / built_size exceeds this
     rebuild_growth: float = 0.3
+    #: full retrain (k-means + split) when churn/built_size exceeds this;
+    #: between ``rebuild_growth`` and here churn triggers the refresh
+    #: re-layout instead — stale centroids still cover an in-distribution
+    #: stream, and a retrain at 1M is minutes of wall inside a write call
+    retrain_growth: float = 1.0
     seed: int = 42
 
 
@@ -244,17 +257,86 @@ class IVFIndex:
     def _np_compute_dtype(self):
         return np.dtype(jnp.dtype(self.compute_dtype).name)
 
+    def _assign_nearest(
+        self, vectors: np.ndarray, chunk: int = 1 << 16
+    ) -> np.ndarray:
+        """Nearest live-centroid id per row, row-chunked so the [chunk, K]
+        score tensor stays bounded on device (the full [N, K] matrix is
+        ~8 GB at 1M rows x 2k clusters); the tail chunk pads to the same
+        compiled shape."""
+        cent_j, c_ns = self._cent_dev
+        K = cent_j.shape[0]
+        live = jnp.asarray(
+            np.ones(K, bool)
+            if self._cluster_live is None
+            else np.asarray(self._cluster_live, bool)
+        )
+        n = len(vectors)
+        chunk = min(chunk, _pow2(max(n, 8)))
+        out = np.empty(n, np.int64)
+        for at in range(0, n, chunk):
+            v = np.asarray(vectors[at: at + chunk], np.float32)
+            m = len(v)
+            if m < chunk:
+                v = np.concatenate(
+                    [v, np.zeros((chunk - m, v.shape[1]), np.float32)]
+                )
+            a = np.asarray(_nearest_centroid(jnp.asarray(v), cent_j, c_ns, live))
+            out[at: at + m] = a[:m]
+        return out
+
+    def refresh(self) -> None:
+        """Re-layout every live row against the EXISTING centroids — no
+        k-means retrain, no cluster split: one chunked nearest-centroid
+        assignment plus the deterministic block layout. Absorbs the
+        exact-scanned overflow set, tombstoned block positions and update
+        fragmentation at a fraction of :meth:`build`'s wall, and keeps the
+        centroid set / cluster id space / cmax unchanged — so the sharded
+        engine's ownership layout stays valid (parallel/sharded_ivf.py
+        renumbers cluster ids only inside build). Rows that land in a full
+        cluster spill to their nearest cluster with room
+        (ops/ivf_kernels.balance_assignment); escalates to a full build
+        when the corpus outgrew the centroids (not enough total room, or a
+        spill fraction that would turn into recall loss)."""
+        if not self._built or self._centroids is None:
+            return self.build()
+        valid = self.store._np_valid
+        rows = np.flatnonzero(valid)
+        n_live = len(rows)
+        if n_live < 16:
+            self._built = False
+            return
+        K = len(self._centroids)
+        cmax = int(self._block_slot.shape[1])
+        n_live_clusters = (
+            K if self._cluster_live is None else int(self._cluster_live.sum())
+        )
+        if n_live > n_live_clusters * cmax:
+            return self.build()  # no room even with spill: resize/retrain
+        assign = np.full(self.store.capacity, -1, np.int64)
+        assign[rows] = self._assign_nearest(self.store._np_vectors[rows])
+        counts = np.bincount(assign[rows], minlength=K)
+        spill = int(np.maximum(counts - cmax, 0).sum())
+        if spill > 0.02 * n_live:
+            return self.build()  # heavy overflow: centroids are stale
+        self._layout_from_assign(assign, K, cmax=cmax)
+
     def _maybe_rebuild(self) -> None:
         c = self.config
         if not self._built:
             if self.store.size >= c.build_threshold:
                 self.build()
             return
-        if self._built_size and (
-            self._churn / max(self._built_size, 1) > c.rebuild_growth
+        if not self._built_size:
+            return
+        ratio = self._churn / max(self._built_size, 1)
+        if ratio > c.retrain_growth:
+            self.build()
+        elif (
+            ratio > c.rebuild_growth
             or len(self._overflow) > 0.05 * self._built_size
         ):
-            self.build()
+            self.refresh()
 
     # ------------------------------------------------------------- write API
 
@@ -694,8 +776,8 @@ class IVFIndex:
         valid = self.store._np_valid
         unknown = np.flatnonzero(valid & (assign < 0))
         if len(unknown):
-            assign[unknown] = np.argmax(
-                self._assign_scores(self.store._np_vectors[unknown]), axis=1
+            assign[unknown] = self._assign_nearest(
+                self.store._np_vectors[unknown]
             )
         cmax = data.get("cmax")
         self._layout_from_assign(

@@ -183,6 +183,85 @@ def test_ivf_rebuild_on_churn():
     assert eng._churn == 0
 
 
+def test_ivf_refresh_absorbs_overflow_without_retrain():
+    # refresh() re-lays-out on the EXISTING centroids: the overflow set
+    # empties, churn resets, and no k-means retrain happens
+    store, vecs, eng = make(
+        n=2000, cmax_factor=1.05, rebuild_growth=10.0, retrain_growth=20.0
+    )
+    cents_before = eng._centroids.copy()
+    point = vecs[0:1]
+    rng = np.random.default_rng(1)
+    new = (np.repeat(point, 16, axis=0)
+           + 0.001 * rng.normal(size=(16, D))).astype(np.float32)
+    slots = store.add_batch([f"o{i}" for i in range(16)], new)
+    eng.on_insert(slots, new)
+    eng.refresh()
+    assert eng._built
+    assert not eng._overflow
+    assert eng._churn == 0
+    assert np.array_equal(eng._centroids, cents_before), "refresh retrained"
+    # every new row placed and findable post-refresh: probe everything
+    # (the near-duplicate rows may have spilled to any cluster with room)
+    eng.set_optimization_parameters(n_probe=eng.n_clusters)
+    d, i = eng.search_slots(point, k=24)
+    found = set(int(x) for x in i.ravel() if x >= 0)
+    assert len(found & set(int(s) for s in slots)) == len(slots)
+    # layout is consistent: each live slot appears exactly once in blocks
+    bs = np.asarray(eng._block_slot)
+    flat = bs[bs >= 0]
+    assert len(flat) == len(np.unique(flat)) == store.size
+
+
+def test_ivf_churn_policy_refresh_then_retrain():
+    # mid-tier churn (> rebuild_growth) -> refresh; heavy churn
+    # (> retrain_growth) -> full build. Distinguished by spying on the
+    # methods, and by the centroid set surviving the refresh tier.
+    store, vecs, eng = make(
+        n=1000, rebuild_growth=0.15, retrain_growth=0.4, n_probe=16
+    )
+    calls = []
+    orig_build, orig_refresh = eng.build, eng.refresh
+    eng.build = lambda *a, **k: (calls.append("build"), orig_build(*a, **k))[1]
+    eng.refresh = lambda: (calls.append("refresh"), orig_refresh())[1]
+    cents = eng._centroids.copy()
+    more = clustered(1900, seed=0)[1000:]  # same blob centers as the corpus
+    slots = store.add_batch([f"a{i}" for i in range(300)], more[:300])
+    eng.on_insert(slots, more[:300])  # ratio 0.3: refresh tier
+    assert calls == ["refresh"]
+    assert np.array_equal(eng._centroids, cents)
+    assert eng._built_size == 1300 and eng._churn == 0
+    slots2 = store.add_batch([f"b{i}" for i in range(600)], more[300:])
+    eng.on_insert(slots2, more[300:])  # ratio 600/1300 > 0.5: retrain tier
+    assert calls[-1] == "build" and "build" in calls
+    assert eng._built_size == 1900 and eng._churn == 0
+    rng = np.random.default_rng(12)
+    q = (more[:32] + 0.05 * rng.normal(size=(32, D))).astype(np.float32)
+    assert recall_vs_oracle(store, eng, q) >= 0.9
+
+
+def test_ivf_refresh_escalates_when_centroids_stale():
+    # a refresh whose nearest-centroid assignment would spill >2% of rows
+    # (the corpus outgrew the centroid set) escalates to a full build
+    store, vecs, eng = make(
+        n=1000, cmax_factor=1.05, rebuild_growth=10.0, retrain_growth=20.0
+    )
+    calls = []
+    orig_build = eng.build
+    eng.build = lambda *a, **k: (calls.append("build"), orig_build(*a, **k))[1]
+    rng = np.random.default_rng(2)
+    # a brand-new dense blob far from every centroid: all rows map to one
+    # nearest centroid, overflowing its block many times over — the
+    # overflow-triggered refresh must see the spill and retrain instead
+    blob = (7.0 + 0.01 * rng.normal(size=(200, D))).astype(np.float32)
+    slots = store.add_batch([f"f{i}" for i in range(200)], blob)
+    eng.on_insert(slots, blob)
+    assert "build" in calls, "stale-centroid refresh should have retrained"
+    d, i = eng.search_slots(blob[:16], k=1)
+    hits = np.mean([int(i[b, 0]) == int(slots[b]) for b in range(16)])
+    assert hits >= 0.9
+
+
 def test_ivf_split_oversized_no_spill():
     # one fat blob holds 80% of rows: without splitting, k-means cells over
     # it overflow cmax and spill rows to far clusters (recall ceiling);

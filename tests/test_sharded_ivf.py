@@ -148,6 +148,33 @@ def test_sharded_insert_lands_in_live_cluster(mesh):
             assert live[c]
 
 
+def test_sharded_refresh_preserves_layout(mesh):
+    # refresh() re-lays-out on existing centroids WITHOUT renumbering the
+    # cluster id space: cluster_live / k_local / centroids are unchanged,
+    # layout invariants hold, and quality still matches single-chip
+    store, vecs, eng = make(mesh, n=4000, n_probe=16,
+                            rebuild_growth=10.0, retrain_growth=20.0)
+    new = clustered(4200, seed=0)[4000:]  # same blob centers as the corpus
+    slots = store.add_batch([f"r{j}" for j in range(200)], new)
+    eng.on_insert(slots, new)
+    live_before = eng._cluster_live.copy()
+    kl_before = eng._k_local
+    cents_before = eng._centroids.copy()
+    eng.refresh()
+    assert eng._built and eng._churn == 0 and not eng._overflow
+    assert np.array_equal(eng._cluster_live, live_before)
+    assert eng._k_local == kl_before
+    assert np.array_equal(eng._centroids, cents_before)
+    # reserved clusters still hold no rows; live rows in live clusters only
+    keep = np.asarray(eng._block_keep)
+    assert not keep[~eng._cluster_live].any()
+    pos = eng._slot_pos[eng._slot_pos[:, 0] >= 0]
+    assert eng._cluster_live[pos[:, 0]].all()
+    rng = np.random.default_rng(3)
+    q = (new[:32] + 0.05 * rng.normal(size=(32, D))).astype(np.float32)
+    assert recall_vs_oracle(store, eng, q) >= 0.9
+
+
 def test_sharded_topology_roundtrip(mesh):
     store, vecs, eng = make(mesh)
     data = eng.export_topology()
