@@ -30,18 +30,28 @@ import os as _os
 if _os.environ.get("QUIVER_XLA_CACHE", "1") != "0":
     # persistent XLA compilation cache: kernel shapes are stable (pow2-padded
     # everywhere), so across restarts every compile is a cache hit — critical
-    # when compilation is remote/slow
+    # when compilation is remote/slow. TPU-only: XLA:CPU caches AOT results
+    # keyed loosely enough that an entry compiled under different detected
+    # host features loads anyway ("machine type ... doesn't match", then
+    # SIGILL/SIGSEGV mid-suite) — and CPU compiles are fast enough that the
+    # cache buys nothing there.
     import jax as _jax
 
-    _cache_dir = _os.environ.get(
-        "QUIVER_XLA_CACHE_DIR",
-        _os.path.expanduser("~/.cache/quiver_tpu_xla"),
+    _plats = str(
+        _jax.config.jax_platforms or _os.environ.get("JAX_PLATFORMS", "")
     )
-    try:
-        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    if "cpu" not in _plats:
+        _cache_dir = _os.environ.get(
+            "QUIVER_XLA_CACHE_DIR",
+            _os.path.expanduser("~/.cache/quiver_tpu_xla"),
+        )
+        try:
+            _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5
+            )
+        except Exception:
+            pass
 
 from quiver_tpu.core.collection import Collection, FluentSearch
 from quiver_tpu.core.db import DB, DBOptions

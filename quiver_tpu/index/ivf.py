@@ -68,9 +68,13 @@ def _mask_block_keep(block_keep, block_slot, slot_mask):
 
 @jax.jit
 def _nearest_centroid(v, cent, c_ns, live):
-    """argmax of the affine nearest-centroid score, reserved ids masked."""
-    s = 2.0 * (v @ cent.T) - c_ns[None, :]
-    return jnp.argmax(jnp.where(live[None, :], s, -jnp.inf), axis=1)
+    """(argmax, max) of the affine nearest-centroid score 2 v.c - |c|^2,
+    reserved ids masked. |v - c*|^2 = |v|^2 - max, so the max doubles as a
+    residual readout (the refresh drift detector)."""
+    s = jnp.where(
+        live[None, :], 2.0 * (v @ cent.T) - c_ns[None, :], -jnp.inf
+    )
+    return jnp.argmax(s, axis=1), jnp.max(s, axis=1)
 
 
 @dataclass
@@ -123,6 +127,12 @@ class IVFConfig:
     #: re-layout instead — stale centroids still cover an in-distribution
     #: stream, and a retrain at 1M is minutes of wall inside a write call
     retrain_growth: float = 1.0
+    #: refresh escalates to a full retrain when the corpus's mean squared
+    #: residual (distance to assigned centroid) exceeds this multiple of
+    #: the at-build value — the drift detector: an in-distribution stream
+    #: keeps the ratio ~1, a shifted distribution blows it up (and stale
+    #: centroids would silently cap recall)
+    refresh_drift: float = 2.0
     seed: int = 42
 
 
@@ -157,6 +167,7 @@ class IVFIndex:
         self._block_keep = None  # device bool[K, Cmax] occupied & live
         self._keep_pending: list[tuple[int, int, bool]] = []  # lazy scatters
         self._fill = None  # np i64[K]
+        self._built_resid = None  # mean |v - c|^2 at layout (drift baseline)
         self._slot_pos = None  # np i64[cap, 2] slot -> (cluster, pos), -1
         self._overflow: set[int] = set()
         self._built_size = 0
@@ -258,12 +269,13 @@ class IVFIndex:
         return np.dtype(jnp.dtype(self.compute_dtype).name)
 
     def _assign_nearest(
-        self, vectors: np.ndarray, chunk: int = 1 << 16
-    ) -> np.ndarray:
-        """Nearest live-centroid id per row, row-chunked so the [chunk, K]
-        score tensor stays bounded on device (the full [N, K] matrix is
-        ~8 GB at 1M rows x 2k clusters); the tail chunk pads to the same
-        compiled shape."""
+        self, vectors: np.ndarray, chunk: int = 1 << 16,
+        return_scores: bool = False,
+    ):
+        """Nearest live-centroid id per row (optionally with the winning
+        affine score), row-chunked so the [chunk, K] score tensor stays
+        bounded on device (the full [N, K] matrix is ~8 GB at 1M rows x 2k
+        clusters); the tail chunk pads to the same compiled shape."""
         cent_j, c_ns = self._cent_dev
         K = cent_j.shape[0]
         live = jnp.asarray(
@@ -274,6 +286,7 @@ class IVFIndex:
         n = len(vectors)
         chunk = min(chunk, _pow2(max(n, 8)))
         out = np.empty(n, np.int64)
+        scores = np.empty(n, np.float32) if return_scores else None
         for at in range(0, n, chunk):
             v = np.asarray(vectors[at: at + chunk], np.float32)
             m = len(v)
@@ -281,9 +294,11 @@ class IVFIndex:
                 v = np.concatenate(
                     [v, np.zeros((chunk - m, v.shape[1]), np.float32)]
                 )
-            a = np.asarray(_nearest_centroid(jnp.asarray(v), cent_j, c_ns, live))
-            out[at: at + m] = a[:m]
-        return out
+            a, s = _nearest_centroid(jnp.asarray(v), cent_j, c_ns, live)
+            out[at: at + m] = np.asarray(a)[:m]
+            if return_scores:
+                scores[at: at + m] = np.asarray(s)[:m]
+        return (out, scores) if return_scores else out
 
     def refresh(self) -> None:
         """Re-layout every live row against the EXISTING centroids — no
@@ -313,13 +328,29 @@ class IVFIndex:
         )
         if n_live > n_live_clusters * cmax:
             return self.build()  # no room even with spill: resize/retrain
+        vecs = self.store._np_vectors[rows]
+        a, best_s = self._assign_nearest(vecs, return_scores=True)
         assign = np.full(self.store.capacity, -1, np.int64)
-        assign[rows] = self._assign_nearest(self.store._np_vectors[rows])
-        counts = np.bincount(assign[rows], minlength=K)
+        assign[rows] = a
+        counts = np.bincount(a, minlength=K)
         spill = int(np.maximum(counts - cmax, 0).sum())
         if spill > 0.02 * n_live:
             return self.build()  # heavy overflow: centroids are stale
+        # drift detector: |v - c*|^2 = |v|^2 - best affine score; a mean
+        # squared residual far above the at-build value means the stream
+        # shifted away from the trained centroids (refresh would silently
+        # cap recall — the probes nearest a drifted query scan wrong blocks)
+        vns = np.sum(vecs.astype(np.float64) ** 2, axis=1)
+        resid_ms = float(np.mean(np.maximum(vns - best_s, 0.0)))
+        if self._built_resid is not None and resid_ms > (
+            self.config.refresh_drift * max(self._built_resid, 1e-12) + 1e-9
+        ):
+            return self.build()
+        base = self._built_resid
         self._layout_from_assign(assign, K, cmax=cmax)
+        # the drift baseline belongs to the TRAINED centroids: successive
+        # refreshes must not ratchet it up (slow drift would escape)
+        self._built_resid = base
 
     def _maybe_rebuild(self) -> None:
         c = self.config
@@ -820,6 +851,9 @@ class IVFIndex:
         slot_pos[order, 0] = sorted_c
         slot_pos[order, 1] = pos_in
         rns = np.sum(blocks.astype(np.float64) ** 2, axis=2).astype(np.float32)
+        # drift baseline for refresh(): mean squared residual over live rows
+        # (zero rows at unoccupied positions don't perturb the sum)
+        self._built_resid = float(rns.sum() / max(n_live, 1))
         full_ns = np.zeros((K, cmax), np.float64)
         full_ns[sorted_c, pos_in] = np.sum(placed.astype(np.float64) ** 2, axis=1)
         inv = np.where(

@@ -13,12 +13,34 @@ import sys
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_parallel_codegen_split_count" not in flags:
+    # XLA:CPU's parallel LLVM codegen intermittently SEGFAULTs mid-compile
+    # under long suites with large SPMD programs (observed repeatedly in
+    # backend_compile_and_load during test_sharded after ~200 tests);
+    # parallel codegen buys nothing on this single-core host anyway
+    flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+os.environ["XLA_FLAGS"] = flags
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_programs_between_modules():
+    """XLA:CPU segfaults inside backend_compile after a few hundred live
+    compiled executables accumulate (observed repeatedly at ~230 tests in,
+    always mid-compile of a large 8-device SPMD program, test position
+    varying run to run). Dropping all jit caches between modules keeps the
+    live-executable population bounded; modules re-compile what they share
+    (seconds on CPU)."""
+    yield
+    jax.clear_caches()
+    gc.collect()
