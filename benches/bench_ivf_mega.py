@@ -58,15 +58,25 @@ def main():
         _ = np.asarray(outs[-1][0]).ravel()[:1]
         return (time.perf_counter() - t0) / depth
 
+    # pairs (the serving default) vs the fused Pallas kernel across the
+    # clusters-per-grid-cell knob (VERDICT r2 next-#1a: amortize the fixed
+    # per-cell cost); KG variants too big for scoped VMEM just report and
+    # continue
     configs = [
+        dict(rescore=False, n_probe=3, q_cap_factor=2, seg_width=32,
+             formulation="pairs"),
+        dict(rescore=False, n_probe=3, q_cap_factor=2, seg_width=32,
+             formulation="fused", fused_kg=1),
+        dict(rescore=False, n_probe=3, q_cap_factor=2, seg_width=32,
+             formulation="fused", fused_kg=2),
+        dict(rescore=False, n_probe=3, q_cap_factor=2, seg_width=32,
+             formulation="fused", fused_kg=4),
+        dict(rescore=False, n_probe=3, q_cap_factor=2, seg_width=32,
+             formulation="fused", fused_kg=8),
         dict(rescore=False, n_probe=4, q_cap_factor=2, seg_width=32,
-             formulation="einsum"),
+             formulation="pairs"),
         dict(rescore=False, n_probe=4, q_cap_factor=2, seg_width=32,
-             formulation="fused"),
-        dict(rescore=False, n_probe=8, q_cap_factor=2, seg_width=32,
-             formulation="fused"),
-        dict(rescore=False, n_probe=4, q_cap_factor=2, seg_width=32,
-             formulation="fused"),
+             formulation="fused", fused_kg=4),
     ]
     eng = make_engine()
     for cfg in configs:
@@ -81,10 +91,15 @@ def main():
                 for r in range(reps)
             ])[:B]
             qj = jnp.asarray(qb)
-            d, i = eng.search_slots_device(qj, K_TOP)
-            rec = recall_with_ties(
-                np.asarray(i)[:B0], queries, vecs, d10, K_TOP)
-            dt = timed(lambda: eng.search_slots_device(qj, K_TOP))
+            try:
+                d, i = eng.search_slots_device(qj, K_TOP)
+                rec = recall_with_ties(
+                    np.asarray(i)[:B0], queries, vecs, d10, K_TOP)
+                dt = timed(lambda: eng.search_slots_device(qj, K_TOP))
+            except Exception as e:  # scoped-VMEM OOM at big KG, etc.
+                print(f"{cfg} B={B:6d}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:160]}", flush=True)
+                continue
             print(f"{cfg} B={B:6d}: {dt*1e3:8.2f} ms = "
                   f"{B/dt:12,.0f} QPS  true recall {rec:.4f}", flush=True)
 

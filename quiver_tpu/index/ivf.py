@@ -113,6 +113,10 @@ class IVFConfig:
     #: window width for the segmented top-2 candidate reduce (None = one
     #: partial top-k over [B, P*Cmax]; see ivf_query docstring)
     seg_width: Optional[int] = 32
+    #: fused formulation only: clusters per Pallas grid cell (amortizes the
+    #: fixed per-cell cost; VMEM-bounded — KG x the block slice must fit
+    #: alongside the query chunk and the [BPc, 128] accumulator)
+    fused_kg: int = 4
     #: exact f32 re-rank of the oversampled survivors (True) vs
     #: score-derived distances with no survivor gather (False — faster
     #: at serving batch sizes, distances carry bf16-residual noise)
@@ -592,6 +596,7 @@ class IVFIndex:
             seg_width=self.config.seg_width,
             rescore=self.config.rescore,
             fused_interpret=interp,
+            fused_kg=self.config.fused_kg,
         )
 
     def _resolve_formulation(self, k: int):

@@ -254,7 +254,7 @@ def _mask_key(w: int) -> np.int32:
     static_argnames=(
         "metric", "k", "n_probe", "q_cap", "compute_dtype", "oversample",
         "probe_approx", "probe_sel_approx", "formulation", "seg_width",
-        "rescore", "fused_interpret",
+        "rescore", "fused_interpret", "fused_kg",
     ),
 )
 def ivf_query(
@@ -280,6 +280,7 @@ def ivf_query(
     seg_width: int | None = 32,
     rescore: bool = True,
     fused_interpret: bool = False,
+    fused_kg: int = 4,
 ):
     """Pruned batched search. Returns (dist f32[B, k], slot i32[B, k]) with
     exact f32 distances, -1 for empty.
@@ -364,6 +365,7 @@ def ivf_query(
             metric=metric, k=k, compute_dtype=compute_dtype,
             oversample=oversample, probe_approx=probe_approx,
             seg_width=seg_width or 32, interpret=fused_interpret,
+            kg=fused_kg,
         )
     elif formulation == "einsum":
         best_s, best_flat = _einsum_candidates(
@@ -858,7 +860,7 @@ def _fused_candidates(
     q, c_dots, c_aff, probe,
     blocks_t, block_rns, block_keep, centroids,
     *, metric, k, compute_dtype, oversample, probe_approx, seg_width,
-    interpret=False,
+    interpret=False, kg=4,
 ):
     """Pallas fused candidate stage (ops/ivf_pallas.py): in-VMEM query
     gather + per-pair block scoring + windowed top-4 + query-major
@@ -915,11 +917,26 @@ def _fused_candidates(
         scale, sub_cent = 1.0, False
         caff_mat = jnp.take_along_axis(c_dots, probe, axis=1)
 
+    # kg clusters share one grid cell (amortizes the ~fixed per-cell cost
+    # that made the KG=1 kernel ~1.7x the pairs path); K pads to a kg
+    # multiple with empty groups — no pair ever references them, so their
+    # tile loops are zero-trip
+    blocks_c = blocks_t.astype(compute_dtype)
+    Kp = (K + kg - 1) // kg * kg
+    if Kp != K:
+        blocks_c = jnp.pad(blocks_c, ((0, Kp - K), (0, 0), (0, 0)))
+        centroids = jnp.pad(centroids, ((0, Kp - K), (0, 0)))
+        bias = jnp.pad(bias, ((0, Kp - K), (0, 0)), constant_values=NEG_BIG)
+        pad = jnp.broadcast_to(
+            starts[:, K:K + 1], (nchunks, Kp - K)
+        ).astype(jnp.int32)
+        starts = jnp.concatenate([starts, pad], axis=1)
+
     acc = fused_block_topw(
         starts.reshape(-1), order.reshape(-1),
         q.reshape(nchunks, Bc, d),
-        blocks_t.astype(compute_dtype), centroids, bias,
-        K=K, Cmax=Cmax, P=P, scale=scale, sub_cent=sub_cent,
+        blocks_c, centroids, bias,
+        K=Kp, Cmax=Cmax, P=P, KG=kg, scale=scale, sub_cent=sub_cent,
         interpret=interpret,
     )  # i32[nchunks, BPc, LANES]
     acc = acc.reshape(B, P, LANES)

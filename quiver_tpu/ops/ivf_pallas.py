@@ -54,7 +54,7 @@ KEY_MIN = np.int32(np.iinfo(np.int32).min)
 
 def _kernel(starts_ref, order_ref, q_ref, blocks_ref, cents_ref, bias_ref,
             acc_ref, win_ref, qt_ref,
-            *, K, BPc, Cmax, P, TQ, scale, sub_cent, debug):
+            *, K, KG, BPc, Cmax, P, TQ, scale, sub_cent, debug):
     S = Cmax // WIN
     c = pl.program_id(0)
     k = pl.program_id(1)
@@ -64,89 +64,96 @@ def _kernel(starts_ref, order_ref, q_ref, blocks_ref, cents_ref, bias_ref,
         acc_ref[0, :, :] = jnp.full((BPc, LANES), KEY_MIN, jnp.int32)
 
     base = c * (K + 1)
-    start = starts_ref[base + k]
-    count = starts_ref[base + k + 1] - start
-    bias = bias_ref[0, 0, :]  # f32[Cmax]
 
-    def tile_body(t, _):
-        off = start + t * TQ
-        n_rows = jnp.minimum(count - t * TQ, TQ)
+    # KG clusters share one grid cell (one fused DMA of their blocks, one
+    # cell's worth of fixed overhead amortized KG ways — the per-cell cost
+    # at grid (nchunks, K) was the measured gap to the pairs path); the
+    # unrolled g-loop emits KG copies of the tile pipeline
+    for g in range(KG):
+        start = starts_ref[base + k * KG + g]
+        count = starts_ref[base + k * KG + g + 1] - start
+        bias = bias_ref[g, 0, :]  # f32[Cmax]
 
-        # build the query tile by VMEM row reads (rows are scattered in
-        # the resident chunk; HBM gathers at the caller cost ~110 ns/row)
-        def load_row(r, _):
-            o = order_ref[c * BPc + off + r]
-            qt_ref[pl.ds(r, 1), :] = q_ref[0, pl.ds(o // P, 1), :]
+        def tile_body(t, _, start=start, count=count, bias=bias, g=g):
+            off = start + t * TQ
+            n_rows = jnp.minimum(count - t * TQ, TQ)
+
+            # build the query tile by VMEM row reads (rows are scattered in
+            # the resident chunk; HBM gathers at the caller cost ~110 ns/row)
+            def load_row(r, _):
+                o = order_ref[c * BPc + off + r]
+                qt_ref[pl.ds(r, 1), :] = q_ref[0, pl.ds(o // P, 1), :]
+                return 0
+
+            jax.lax.fori_loop(0, n_rows, load_row, 0)
+
+            qtile = qt_ref[:, :]
+            if sub_cent:
+                qtile = qtile - cents_ref[g, 0, :][None, :]
+            dots = jnp.dot(
+                qtile.astype(jnp.bfloat16), blocks_ref[g, :, :],
+                preferred_element_type=jnp.float32,
+            )  # f32[TQ, Cmax]
+            s = scale * dots + bias[None, :]
+            if debug >= 3:  # ablation: matmul only
+                win_ref[:, :] = jax.lax.bitcast_convert_type(
+                    s[:, :LANES], jnp.int32)
+                acc_ref[0, 0:TQ, :] = win_ref[:, :]
+                return 0
+            b = jax.lax.bitcast_convert_type(s, jnp.int32)
+            key = b ^ jnp.right_shift(b, 31).astype(jnp.int32) & jnp.int32(
+                0x7FFFFFFF
+            )
+            lane = jax.lax.broadcasted_iota(jnp.int32, (TQ, Cmax), 1)
+            keyp = (key & jnp.int32(~POS_MASK)) | (lane & jnp.int32(POS_MASK))
+            # top-R_WIN per 128-lane window: R_WIN masked max passes, each a
+            # full-lane reduce over a static 128-aligned slice. Winners
+            # assemble into one [TQ, LANES] vreg by masked lane writes
+            # (concatenating 1-lane vectors would relayout per lane).
+            lane_out = jax.lax.broadcasted_iota(jnp.int32, (TQ, LANES), 1)
+            win = jnp.full((TQ, LANES), KEY_MIN, jnp.int32)
+            for w in range(S):
+                sub = keyp[:, w * WIN:(w + 1) * WIN]
+                for r_i in range(R_WIN):
+                    m = jnp.max(sub, axis=1, keepdims=True)  # [TQ, 1]
+                    win = jnp.where(
+                        lane_out == (w * R_WIN + r_i), m, win)
+                    sub = jnp.where(sub == m, KEY_MIN, sub)
+            win_ref[:, :] = win  # staged so rows can be read dynamically
+
+            if debug >= 2:  # ablation: no scatter (fixed-row store)
+                acc_ref[0, 0:TQ, :] = win_ref[:, :]
+                return 0
+
+            def store_row(r, _):
+                po = order_ref[c * BPc + off + r]
+                acc_ref[0, pl.ds(po, 1), :] = win_ref[pl.ds(r, 1), :]
+                return 0
+
+            jax.lax.fori_loop(0, n_rows, store_row, 0)
             return 0
 
-        jax.lax.fori_loop(0, n_rows, load_row, 0)
-
-        qtile = qt_ref[:, :]
-        if sub_cent:
-            qtile = qtile - cents_ref[0, 0, :][None, :]
-        dots = jnp.dot(
-            qtile.astype(jnp.bfloat16), blocks_ref[0, :, :],
-            preferred_element_type=jnp.float32,
-        )  # f32[TQ, Cmax]
-        s = scale * dots + bias[None, :]
-        if debug >= 3:  # ablation: matmul only
-            win_ref[:, :] = jax.lax.bitcast_convert_type(
-                s[:, :LANES], jnp.int32)
-            acc_ref[0, 0:TQ, :] = win_ref[:, :]
-            return 0
-        b = jax.lax.bitcast_convert_type(s, jnp.int32)
-        key = b ^ jnp.right_shift(b, 31).astype(jnp.int32) & jnp.int32(
-            0x7FFFFFFF
-        )
-        lane = jax.lax.broadcasted_iota(jnp.int32, (TQ, Cmax), 1)
-        keyp = (key & jnp.int32(~POS_MASK)) | (lane & jnp.int32(POS_MASK))
-        # top-R_WIN per 128-lane window: R_WIN masked max passes, each a
-        # full-lane reduce over a static 128-aligned slice. Winners
-        # assemble into one [TQ, LANES] vreg by masked lane writes
-        # (concatenating 1-lane vectors would relayout per lane).
-        lane_out = jax.lax.broadcasted_iota(jnp.int32, (TQ, LANES), 1)
-        win = jnp.full((TQ, LANES), KEY_MIN, jnp.int32)
-        for w in range(S):
-            sub = keyp[:, w * WIN:(w + 1) * WIN]
-            for r_i in range(R_WIN):
-                m = jnp.max(sub, axis=1, keepdims=True)  # [TQ, 1]
-                win = jnp.where(
-                    lane_out == (w * R_WIN + r_i), m, win)
-                sub = jnp.where(sub == m, KEY_MIN, sub)
-        win_ref[:, :] = win  # staged so rows can be read dynamically
-
-        if debug >= 2:  # ablation: no scatter (fixed-row store)
-            acc_ref[0, 0:TQ, :] = win_ref[:, :]
-            return 0
-
-        def store_row(r, _):
-            po = order_ref[c * BPc + off + r]
-            acc_ref[0, pl.ds(po, 1), :] = win_ref[pl.ds(r, 1), :]
-            return 0
-
-        jax.lax.fori_loop(0, n_rows, store_row, 0)
-        return 0
-
-    nt = pl.cdiv(count, TQ)
-    jax.lax.fori_loop(0, nt, tile_body, 0)
+        nt = pl.cdiv(count, TQ)
+        jax.lax.fori_loop(0, nt, tile_body, 0)
 
 
 @partial(
     jax.jit,
-    static_argnames=("K", "Cmax", "P", "TQ", "scale", "sub_cent",
+    static_argnames=("K", "Cmax", "P", "KG", "TQ", "scale", "sub_cent",
                      "interpret", "debug"),
 )
 def fused_block_topw(
     starts: jax.Array,  # i32[nchunks*(K+1)] CSR group offsets per chunk
     order: jax.Array,  # i32[nchunks*BPc] original pair index per sorted pair
     q: jax.Array,  # f32[nchunks, Bc, d] query chunks (resident per chunk)
-    blocks_t: jax.Array,  # bf16[K, d, Cmax]
+    blocks_t: jax.Array,  # bf16[K, d, Cmax]  (K % KG == 0, caller pads)
     centroids: jax.Array,  # f32[K, d]
     bias: jax.Array,  # f32[K, Cmax]  (keep ? -|v-c|^2 : -BIG)
     *,
     K: int,
     Cmax: int,
     P: int,
+    KG: int = 1,
     TQ: int = 32,
     scale: float = 2.0,
     sub_cent: bool = True,
@@ -154,20 +161,22 @@ def fused_block_topw(
     debug: int = 0,
 ):
     """Packed int32 winner keys [nchunks, BPc, 128] in original pair
-    order (see module docstring)."""
+    order (see module docstring). ``KG`` clusters share one grid cell."""
     nchunks, Bc, d = q.shape
     BPc = Bc * P
+    if K % KG:
+        raise ValueError(f"K={K} must be a multiple of KG={KG}")
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nchunks, K),
+        grid=(nchunks, K // KG),
         in_specs=[
             pl.BlockSpec((1, Bc, d), lambda c, k, *_: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, Cmax), lambda c, k, *_: (k, 0, 0),
+            pl.BlockSpec((KG, d, Cmax), lambda c, k, *_: (k, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, d), lambda c, k, *_: (k, 0, 0),
+            pl.BlockSpec((KG, 1, d), lambda c, k, *_: (k, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Cmax), lambda c, k, *_: (k, 0, 0),
+            pl.BlockSpec((KG, 1, Cmax), lambda c, k, *_: (k, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, BPc, LANES), lambda c, k, *_: (c, 0, 0),
@@ -178,7 +187,7 @@ def fused_block_topw(
         ],
     )
     return pl.pallas_call(
-        partial(_kernel, K=K, BPc=BPc, Cmax=Cmax, P=P, TQ=TQ,
+        partial(_kernel, K=K, KG=KG, BPc=BPc, Cmax=Cmax, P=P, TQ=TQ,
                 scale=scale, sub_cent=sub_cent, debug=debug),
         out_shape=jax.ShapeDtypeStruct((nchunks, BPc, LANES), jnp.int32),
         grid_spec=grid_spec,

@@ -377,6 +377,32 @@ def test_fused_formulation_matches_einsum():
             rtol=1e-4, atol=1e-4)
 
 
+def test_fused_kg_batching_invariant():
+    """Results are invariant in fused_kg (clusters per Pallas grid cell),
+    including a kg that does NOT divide K (pad clusters are zero-trip
+    empty groups — ops/ivf_pallas.fused_block_topw)."""
+    rng = np.random.default_rng(8)
+    n = 4000
+    centers = rng.normal(size=(20, D)).astype(np.float32)
+    vecs = (centers[rng.integers(0, 20, n)]
+            + 0.1 * rng.normal(size=(n, D))).astype(np.float32)
+    q = (vecs[:24] + 0.02 * rng.normal(size=(24, D))).astype(np.float32)
+    ref = None
+    for kg in (1, 3, 4):
+        store = VectorStore(dim=D, metric="euclidean")
+        slots = store.add_batch([f"v{i}" for i in range(n)], vecs)
+        eng = IVFIndex(store, config=IVFConfig(
+            n_clusters=16, n_probe=6, build_threshold=256,
+            formulation="fused", fused_kg=kg, cmax_factor=1.3))
+        eng.on_insert(slots, vecs)
+        d, i = eng.search_slots(q, k=10)
+        if ref is None:
+            ref = (d, i)
+        else:
+            assert np.array_equal(i, ref[1]), f"kg={kg} ids differ"
+            np.testing.assert_allclose(d, ref[0], rtol=1e-5, atol=1e-5)
+
+
 def test_ivf_batch_insert_skewed_placement():
     """The vectorized placement (sort + in-batch rank + fill offset) must
     match per-row semantics when a batch concentrates on few clusters:
