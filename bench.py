@@ -39,7 +39,7 @@ B = int(os.environ.get("QUIVER_BENCH_B", 16384))
 # with margin) at ~19% more QPS than n_probe=4 — swept 2026-08-17
 N_PROBE = int(os.environ.get("QUIVER_BENCH_NPROBE", 3))
 B_ORACLE = 2048
-PIPELINE_DEPTH = 32
+PIPELINE_DEPTH = int(os.environ.get("QUIVER_BENCH_DEPTH", 32))
 ROUNDS = 3
 # v2: cluster ids permuted at build (index/ivf.py) — stale v1 caches would
 # re-import the unpermuted layout and its windowed-probe recall pathology
