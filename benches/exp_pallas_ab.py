@@ -14,7 +14,7 @@ from quiver_tpu.ops.pallas_scan import pallas_scan_topk
 from quiver_tpu.ops.distance import norms_sq, inv_norms
 
 rng = np.random.default_rng(0)
-N, D, K = 1_000_000, 128, 10
+N, D, K = 1 << 20, 128, 10  # pow2: both scans tile the corpus at 32768
 v = rng.normal(size=(N, D)).astype(np.float32)
 vj = jnp.asarray(v)
 ns = norms_sq(vj)
