@@ -19,7 +19,7 @@ from benches.ivf_lab import wall
 
 N, D, K_TOP = 1_000_000, 128, 10
 LO, HI = 1, 5
-BUILD_CACHE = "/tmp/quiver_bench_ivf_build.npz"
+from bench import BUILD_CACHE  # shared with bench.py (v2: permuted ids)
 
 STAGES = [
     "probe",      # centroid scores + iterated argmax top-P

@@ -75,6 +75,13 @@ def make_engine(kind: str, store, **cfg):
             ivf_kw = dict(dtype_kw)
             if ivf_config is not None:
                 ivf_kw["config"] = ivf_config
+            # remaining engine kwargs are IVFConfig overrides — silently
+            # dropping a tuning knob (n_probe=...) would be a misconfig
+            # nobody notices; unknown names fail loudly in IVFConfig
+            ivf_kw.update({
+                k: v for k, v in cfg.items()
+                if k not in ("compute_dtype", "adaptive_config")
+            })
             ann_factory = lambda s: ShardedIVFIndex(s, mesh, **ivf_kw)
         else:
             from quiver_tpu.parallel.sharded_graph import ShardedHNSWIndex

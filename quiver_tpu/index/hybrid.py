@@ -422,11 +422,32 @@ class HybridIndex:
         the only ANN side); prefer :attr:`ann`."""
         return self.ann
 
+    #: query-time knobs of each ANN backend: a knob that belongs to the
+    #: OTHER backend is a no-op on this hybrid (not an error) — callers
+    #: tune ef_search on the reference-parity surface regardless of which
+    #: engine the auto backend resolved to (adapter.go:175-190)
+    _BACKEND_KNOBS = {
+        "hnsw": {"ef_search", "visited", "query_dtype"},
+        "ivf": {"n_probe"},
+    }
+
     def get_optimization_parameters(self) -> dict:
         return self.ann.get_optimization_parameters()
 
     def set_optimization_parameters(self, **params) -> None:
-        self.ann.set_optimization_parameters(**params)
+        all_known = set().union(*self._BACKEND_KNOBS.values())
+        unknown = set(params) - all_known
+        if unknown:
+            raise ValueError(
+                "immutable or unknown parameters for any backend: "
+                f"{sorted(unknown)}"
+            )
+        mine = {
+            k: v for k, v in params.items()
+            if k in self._BACKEND_KNOBS.get(self.ann_label, all_known)
+        }
+        if mine:
+            self.ann.set_optimization_parameters(**mine)
 
     def get_detailed_metrics(self) -> dict:
         return {self.ann_label: self.ann.get_detailed_metrics(), **self.stats()}

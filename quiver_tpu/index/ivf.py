@@ -647,6 +647,10 @@ class IVFIndex:
         q = np.asarray(queries, np.float32)
         if q.ndim == 1:
             q = q[None, :]
+        if q.shape[0] == 0:
+            return (
+                np.zeros((0, k), np.float32), np.full((0, k), -1, np.int64)
+            )
         per_query_mask = mask is not None and np.asarray(mask).ndim == 2
         if (
             exact

@@ -488,20 +488,22 @@ def _select_probes(c_scores, P: int, K: int, probe_sel_approx):
     Three regimes, all profiled on v5e (benches/profile_reduce.py,
     lab_pairs2.py):
 
-    * K >= 256 with enough 128-lane windows (nwin >= P, so no window must
-      contribute more than 2 of the selected P): top-2 per window via
-      packed keys (2 max passes, argmax-free) + one tiny exact top-P over
-      the window winners — 0.70 ms at [16k, 1405] vs 1.66 ms for iterated
-      argmax. A probe is lost only when 3+ of the true top-P centroids
-      share one window; the engine permutes cluster ids at build
-      (index/ivf.py) so windows really are a random partition of space
-      and that event stays rare.
+    * approx requested (``probe_sel_approx`` set), K >= 256 with enough
+      128-lane windows (nwin >= P, so no window must contribute more than
+      2 of the selected P): top-2 per window via packed keys (2 max
+      passes, argmax-free) + one tiny exact top-P over the window winners
+      — 0.70 ms at [16k, 1405] vs 1.66 ms for iterated argmax. A probe is
+      lost only when 3+ of the true top-P centroids share one window; the
+      engine permutes cluster ids at build (index/ivf.py) so windows
+      really are a random partition of space and that event stays rare.
+      ``probe_sel_approx=None`` always takes an EXACT path — imported or
+      sharded-renumbered layouts carry no window-randomness guarantee.
     * small K, P <= 16: iterated argmax (exact).
     * else: approx_max_k / top_k.
     """
     B = c_scores.shape[0]
     nwin = (K + 127) // 128
-    if K >= 256 and nwin >= P:
+    if probe_sel_approx is not None and K >= 256 and nwin >= P:
         LM = jnp.int32(127)
         MK = _mask_key(128)
         KP = nwin * 128
@@ -893,9 +895,26 @@ def _fused_candidates(
 
     # chunking: the accumulator [BPc, 128] i32 + the resident query chunk
     # must fit VMEM. Bc rounds down to a power of two so it divides the
-    # pow2-padded B even when P is not itself a power of two.
+    # pow2-padded B even when P is not itself a power of two; a non-pow2
+    # B pads to the next Bc multiple by repeating row 0 (extra pairs are
+    # scored and sliced off — the engine path already sends pow2 batches,
+    # this keeps the public kernel entry shape-safe).
     Bc = max(1, min(B, 16384 // P))
     Bc = 1 << (Bc.bit_length() - 1)
+    B0 = B
+    pad_rows = (-B) % Bc
+    if pad_rows:
+        q = jnp.concatenate([q, jnp.broadcast_to(q[:1], (pad_rows, d))])
+        probe = jnp.concatenate(
+            [probe, jnp.broadcast_to(probe[:1], (pad_rows, P))]
+        )
+        c_dots = jnp.concatenate(
+            [c_dots, jnp.broadcast_to(c_dots[:1], (pad_rows, K))]
+        )
+        c_aff = jnp.concatenate(
+            [c_aff, jnp.broadcast_to(c_aff[:1], (pad_rows, K))]
+        )
+        B = B + pad_rows
     nchunks = B // Bc
     BPc = Bc * P
 
@@ -953,4 +972,4 @@ def _fused_candidates(
     else:
         best_s, sel = jax.lax.top_k(scores, n_sur)
     best_f = jnp.take_along_axis(fpos, sel, axis=1)
-    return best_s, best_f
+    return best_s[:B0], best_f[:B0]

@@ -369,7 +369,15 @@ class ShardedIVFIndex(IVFIndex):
     def import_topology(self, data: dict, slot_remap: np.ndarray) -> None:
         live = data.get("cluster_live")
         kl = data.get("k_local")
-        if live is None or kl is None or int(len(live)) % self.n_shards:
+        # the id space is only valid for the mesh shape it was exported
+        # under: k_local * n_shards must cover it exactly, else per-shard
+        # ranges (and the reserved pad sentinel at each range's end) land
+        # on the wrong clusters and queries silently corrupt
+        if (
+            live is None
+            or kl is None
+            or int(kl) * self.n_shards != int(len(live))
+        ):
             # sidecar from a different engine/mesh shape: renumber fresh
             # by rebuilding from the raw assignment through the base path
             # (which calls _prepare_clusters via build) — cheapest correct

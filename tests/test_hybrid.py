@@ -189,6 +189,26 @@ def test_optimization_parameters_surface():
     assert "hnsw" in dm and dm["hnsw"]["size"] == 120
 
 
+def test_optimization_knobs_of_other_backend_are_noop():
+    # the reference-parity EfSearch call must not explode when the auto
+    # backend resolved to IVF (and vice versa) — it is a no-op there
+    store = VectorStore(dim=D, metric="euclidean")
+    vecs = np.random.default_rng(0).normal(size=(300, D)).astype(np.float32)
+    slots = store.add_batch([f"v{i}" for i in range(300)], vecs)
+    ivf_h = HybridIndex(store)  # auto -> ivf
+    ivf_h.on_insert(slots, vecs)
+    assert ivf_h.ann_label == "ivf"
+    ivf_h.set_optimization_parameters(ef_search=64)  # graph knob: no-op
+    ivf_h.set_optimization_parameters(n_probe=4)
+    assert ivf_h.get_optimization_parameters()["n_probe"] == 4
+    hnsw_h = HybridIndex(store, ann_backend="hnsw", build_batch=256)
+    hnsw_h.set_optimization_parameters(n_probe=4)  # ivf knob: no-op
+    hnsw_h.set_optimization_parameters(ef_search=32)
+    assert hnsw_h.get_optimization_parameters()["ef_search"] == 32
+    with pytest.raises(ValueError, match="immutable or unknown"):
+        hnsw_h.set_optimization_parameters(bogus=1)
+
+
 def test_fluent_strategy_and_stats():
     import numpy as np
     from quiver_tpu.core.collection import Collection

@@ -377,6 +377,55 @@ def test_fused_formulation_matches_einsum():
             rtol=1e-4, atol=1e-4)
 
 
+def test_ivf_empty_query_batch():
+    store, vecs, eng = make(n=2000)
+    d, i = eng.search_slots(np.zeros((0, D), np.float32), k=5)
+    assert d.shape == (0, 5) and i.shape == (0, 5)
+
+
+def test_ivf_probe_sel_exact_when_none():
+    # probe_sel_approx=None must take an EXACT top-P path even at K >= 256
+    # where the windowed approximation is the speed default — an imported
+    # or renumbered layout has no window-randomness guarantee
+    import jax.numpy as jnp
+
+    from quiver_tpu.ops.ivf_kernels import _select_probes
+
+    rng = np.random.default_rng(4)
+    K, P = 512, 4
+    scores = jnp.asarray(rng.normal(size=(16, K)).astype(np.float32))
+    # plant the true top-P of row 0 inside ONE 128-id window: the windowed
+    # top-2 would drop two of them
+    scores = scores.at[0, [5, 17, 33, 99]].set(
+        jnp.asarray([50.0, 49.0, 48.0, 47.0]))
+    probe, _ = _select_probes(scores, P, K, None)
+    assert set(np.asarray(probe)[0].tolist()) == {5, 17, 33, 99}
+    probe_w, _ = _select_probes(scores, P, K, 0.99)
+    assert len(set(np.asarray(probe_w)[0].tolist()) & {5, 17, 33, 99}) == 2
+
+
+def test_ivf_fused_non_pow2_batch():
+    # the public kernel entry pads a non-pow2 batch internally (engine
+    # paths already send pow2; direct callers must not hit a reshape error)
+    rng = np.random.default_rng(9)
+    n = 4000
+    centers = rng.normal(size=(20, D)).astype(np.float32)
+    vecs = (centers[rng.integers(0, 20, n)]
+            + 0.1 * rng.normal(size=(n, D))).astype(np.float32)
+    store = VectorStore(dim=D, metric="euclidean")
+    slots = store.add_batch([f"v{i}" for i in range(n)], vecs)
+    eng = IVFIndex(store, config=IVFConfig(
+        n_clusters=16, n_probe=6, build_threshold=256,
+        formulation="fused", cmax_factor=1.3))
+    eng.on_insert(slots, vecs)
+    import jax.numpy as jnp
+
+    q48 = (vecs[:48] + 0.02 * rng.normal(size=(48, D))).astype(np.float32)
+    d, i = eng.search_slots_device(jnp.asarray(q48), 10)
+    assert d.shape == (48, 10)
+    assert (np.asarray(i)[:, 0] == np.arange(48)).mean() >= 0.9
+
+
 def test_fused_kg_batching_invariant():
     """Results are invariant in fused_kg (clusters per Pallas grid cell),
     including a kg that does NOT divide K (pad clusters are zero-trip

@@ -191,6 +191,27 @@ def test_sharded_topology_roundtrip(mesh):
     np.testing.assert_array_equal(i1, i2)
 
 
+def test_sharded_topology_mesh_mismatch_rebuilds(mesh):
+    # a sidecar exported under a DIFFERENT shard count must be rejected
+    # even when its cluster count happens to divide this mesh (k_local *
+    # n_shards != len(cluster_live) -> per-shard ranges and pad sentinels
+    # would land on live clusters and silently corrupt results)
+    store, vecs, eng = make(mesh, n=4000)
+    data = eng.export_topology()
+    assert int(data["k_local"]) * 8 == len(data["cluster_live"])
+    bad = dict(data)
+    bad["k_local"] = np.int64(len(data["cluster_live"]) // 2)  # 2-shard kl
+    eng2 = ShardedIVFIndex(
+        store, mesh,
+        config=IVFConfig(n_probe=8, build_threshold=256, rescore=False),
+    )
+    eng2.import_topology(bad, np.arange(store.capacity))
+    assert eng2._built  # fell back to a fresh build
+    assert eng2._k_local * 8 == len(eng2._cluster_live)
+    d, i = eng2.search_slots(vecs[:64], k=1)
+    assert (i[:, 0] == np.arange(64)).mean() >= 0.98
+
+
 def test_sharded_rescore_rejected(mesh):
     store = VectorStore(dim=D, metric="euclidean")
     with pytest.raises(ValueError, match="rescore"):
@@ -205,3 +226,15 @@ def test_make_engine_kind(mesh):
     store = VectorStore(dim=D, metric="euclidean")
     eng = make_engine("sharded_ivf", store, mesh=mesh)
     assert eng.name == "sharded_ivf" and not eng.config.rescore
+
+
+def test_make_engine_sharded_hybrid_passes_ivf_knobs(mesh):
+    # tuning kwargs must reach the IVF side of a sharded hybrid (they were
+    # silently dropped); unknown names fail loudly in IVFConfig
+    from quiver_tpu.index import make_engine
+
+    store = VectorStore(dim=D, metric="euclidean")
+    h = make_engine("sharded_hybrid", store, mesh=mesh, n_probe=5)
+    assert h.ann.config.n_probe == 5
+    with pytest.raises(TypeError):
+        make_engine("sharded_hybrid", store, mesh=mesh, bogus_knob=1)
