@@ -257,10 +257,15 @@ class Server:
         if vec is None:
             raise ValueError("vector required")
         opts = body.get("options", {})
-        filters = [
-            Filter(f["field"], f["operator"], f.get("value"))
-            for f in body.get("filters", [])
-        ]
+        # malformed filter dicts are a CLIENT error: a bare KeyError here
+        # would ride the middleware's not-found mapping out as a 404
+        filters = []
+        for f in body.get("filters", []):
+            if "field" not in f or "operator" not in f:
+                raise ValueError(
+                    "every filter needs 'field' and 'operator'"
+                )
+            filters.append(Filter(f["field"], f["operator"], f.get("value")))
         return SearchRequest(
             vector=np.asarray(vec, np.float32),
             top_k=int(body.get("top_k", 10)),  # default 10 (handlers.go:523)

@@ -49,11 +49,17 @@ class StoreDeviceView:
 
 
 @jax.jit
-def _scatter_rows(vectors, valid, slots, new_vecs, new_valid):
+def _scatter_rows(vectors, valid, norms, invs, slots, new_vecs, new_valid):
     vectors = vectors.at[slots].set(new_vecs, mode="drop")
     valid = valid.at[slots].set(new_valid, mode="drop")
-    ns = norms_sq(vectors)
-    return vectors, valid, ns, inv_norms(ns)
+    # update norms only for the scattered rows: a full norms_sq pass here
+    # re-read the entire [cap, d] matrix per sync — hundreds of MB of HBM
+    # traffic for an 8-row write at 1M x 128 (the sharded scatter,
+    # parallel/sharded.py, always did the cheap per-row form)
+    row_ns = norms_sq(new_vecs)
+    norms = norms.at[slots].set(row_ns, mode="drop")
+    invs = invs.at[slots].set(inv_norms(row_ns), mode="drop")
+    return vectors, valid, norms, invs
 
 
 class VectorStore:
@@ -328,6 +334,8 @@ class VectorStore:
                 v, va, ns, inv = _scatter_rows(
                     self._device.vectors,
                     self._device.valid,
+                    self._device.norms_sq,
+                    self._device.inv_norms,
                     jnp.asarray(pslots),
                     jnp.asarray(self._np_vectors[safe]),
                     jnp.asarray(self._np_valid[safe]),

@@ -34,6 +34,7 @@ from quiver_tpu.facets.filters import (
     RangeFilter,
     SetFilter,
     _as_number,
+    _go_format,
     _is_empty,
     extract_path,
 )
@@ -56,17 +57,22 @@ class _FieldColumns:
 
     def __init__(self, capacity: int):
         self.vocab: dict = {}
-        # case-sensitive vocab for request-level operator filters, whose
-        # equality is Sprintf-style case-SENSITIVE (collection.go:600-607),
-        # unlike case-insensitive facet equality (facets.go:39-91).
-        self.cs_vocab: dict[str, int] = {}
-        self.cs_code = np.full(capacity, -1, np.int32)
+        # go-format vocab for request-level operator filters, whose
+        # equality is Sprintf-style (collection.go:600-607): EVERY scalar
+        # (string, number, bool) indexes its _go_format string, so a
+        # numeric filter value matches a numeric-looking string row and
+        # vice versa, exactly like the host oracle's values_equal
+        self.gofmt_vocab: dict[str, int] = {}
+        self.gofmt_code = np.full(capacity, -1, np.int32)
         self.str_code = np.full(capacity, -1, np.int32)
         self.num_val = np.zeros(capacity, np.float32)
         self.has_num = np.zeros(capacity, bool)
         self.present = np.zeros(capacity, bool)
         self.exists = np.zeros(capacity, bool)
         self.set_words = np.zeros((capacity, 1), np.uint32)
+        # any row ever held a list/tuple: request-operator compiles punt
+        # to the host path (Sprintf of a sequence is not representable)
+        self.any_nonscalar = False
 
     def _code(self, key, create: bool) -> Optional[int]:
         code = self.vocab.get(key)
@@ -86,7 +92,9 @@ class _FieldColumns:
         if extra <= 0:
             return
         self.str_code = np.concatenate([self.str_code, np.full(extra, -1, np.int32)])
-        self.cs_code = np.concatenate([self.cs_code, np.full(extra, -1, np.int32)])
+        self.gofmt_code = np.concatenate(
+            [self.gofmt_code, np.full(extra, -1, np.int32)]
+        )
         self.num_val = np.concatenate([self.num_val, np.zeros(extra, np.float32)])
         self.has_num = np.concatenate([self.has_num, np.zeros(extra, bool)])
         self.present = np.concatenate([self.present, np.zeros(extra, bool)])
@@ -97,7 +105,7 @@ class _FieldColumns:
 
     def clear_row(self, slot: int) -> None:
         self.str_code[slot] = -1
-        self.cs_code[slot] = -1
+        self.gofmt_code[slot] = -1
         self.num_val[slot] = 0.0
         self.has_num[slot] = False
         self.present[slot] = False
@@ -122,13 +130,16 @@ class _FieldColumns:
             key = _canon(value)
             if key is not None and key[0] == "s":
                 self.str_code[slot] = self.vocab[key]
-            if isinstance(value, str):
-                code = self.cs_vocab.setdefault(value, len(self.cs_vocab))
-                self.cs_code[slot] = code
+            if value is not None:
+                fmt = _go_format(value)
+                code = self.gofmt_vocab.setdefault(fmt, len(self.gofmt_vocab))
+                self.gofmt_code[slot] = code
             n = _as_number(value)
             if n is not None:
                 self.num_val[slot] = np.float32(n)
                 self.has_num[slot] = True
+        else:
+            self.any_nonscalar = True
 
     # -------------------------------------------------------------- compile
 
@@ -177,19 +188,32 @@ class _FieldColumns:
         return (self.set_words & word_mask[None, :]).any(axis=1)
 
     def mask_equality_cs(self, value: Any) -> Optional[np.ndarray]:
-        """Case-sensitive equality for request-level '=' filters
-        (reference valuesEqual, collection.go:600-607): numeric-vs-numeric
-        compares numerically, string-vs-string exactly; cross-type Sprintf
-        quirks fall back to the host path."""
+        """Request-level '=' equality mirroring the host oracle's
+        values_equal (reference valuesEqual, collection.go:600-607):
+        numeric row vs numeric filter compares numerically; every other
+        scalar pairing compares by go-format string — so a numeric filter
+        value matches a numeric-LOOKING string row, and a string filter
+        matches a numeric row, exactly like the Sprintf fallthrough."""
+        if isinstance(value, (list, tuple, dict)):
+            return None  # host fallback
+        code = self.gofmt_vocab.get(_go_format(value))
+        fmt_m = (
+            self.gofmt_code == code
+            if code is not None
+            else np.zeros_like(self.present)
+        )
         n = _as_number(value)
         if n is not None:
-            return self.has_num & (self.num_val == np.float32(n))
-        if isinstance(value, str):
-            code = self.cs_vocab.get(value)
-            if code is None:
-                return np.zeros_like(self.present)
-            return self.cs_code == code
-        return None
+            return (self.has_num & (self.num_val == np.float32(n))) | (
+                ~self.has_num & fmt_m
+            )
+        return fmt_m
+
+    def has_value(self) -> np.ndarray:
+        """Rows holding a non-null scalar value: the host oracle returns
+        False for stored nulls under EVERY operator (a bare ``present``
+        bit would let '!='/'not_in' match them)."""
+        return self.gofmt_code >= 0
 
     def mask_exists(self) -> np.ndarray:
         return self.exists
@@ -275,14 +299,15 @@ class FacetColumns:
         mask: Optional[np.ndarray] = None
         for flt in filters:
             col = self.fields.get(flt.field)
-            if col is None:
+            if col is None or col.any_nonscalar:
+                # list/tuple rows only compare via the host's Sprintf path
                 return None
             op, val = flt.operator, flt.value
             if op == "=":
                 m = col.mask_equality_cs(val)
             elif op == "!=":
                 e = col.mask_equality_cs(val)
-                m = None if e is None else (col.present & ~e)
+                m = None if e is None else (col.has_value() & ~e)
             elif op in (">", ">=", "<", "<="):
                 if _as_number(val) is None:
                     return None  # lexicographic compare -> host fallback
@@ -304,12 +329,12 @@ class FacetColumns:
                     return None
                 m = _or_masks([col.mask_equality_cs(v) for v in val], col)
             elif op == "not_in":
-                # non-list value matches everything (collection.go:560-570)
+                # non-list value matches every valued row (collection.go:560-570)
                 if not isinstance(val, (list, tuple)):
-                    m = col.present.copy()
+                    m = col.has_value()
                 else:
                     s = _or_masks([col.mask_equality_cs(v) for v in val], col)
-                    m = None if s is None else (col.present & ~s)
+                    m = None if s is None else (col.has_value() & ~s)
             else:
                 return None
             if m is None:

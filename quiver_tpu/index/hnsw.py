@@ -326,11 +326,31 @@ class _Layer:
 
     # ----------------------------------------------------------- device side
 
+    def _row_capacity(self, capacity: int) -> int:
+        """Device adjacency row count: the store capacity, doubled as
+        needed. Rows are append-only across the layer's life (delete
+        tombstones keep their row; update = delete+reinsert appends a
+        fresh one), so sustained churn legitimately needs MORE rows than
+        the store has slots — capping at the slot count silently dropped
+        the new rows' edges (scatter mode='drop') and clamped query
+        gathers onto the last row. Rebuilding from live vectors
+        (import/export or a fresh index) compacts the row space."""
+        need = max(len(self.nodes), capacity)
+        return _pow2(need, lo=max(capacity, 8))
+
     def device(self, capacity: int):
-        """(adj_dev [capacity, deg], pos_dev [capacity]) — synced lazily."""
+        """(adj_dev [row_cap, deg], pos_dev [capacity]) — synced lazily."""
+        row_cap = self._row_capacity(capacity)
+        if self._adj_dev is not None and self._adj_dev.shape[0] < row_cap:
+            # appended rows outgrew the device pad: download, re-pad,
+            # resync mirrors (same path as grow_capacity)
+            _ = self.adj
+            self._adj_dev = None
+            self._fill_dev = None
+            self._dirty_rows = None
         if self._adj_dev is None:
             self._adj_dev = jnp.asarray(
-                _pad_rows_to(self.adj, capacity)
+                _pad_rows_to(self.adj, row_cap)
             )
             self._pos_full_sync = True
         if self._pos_dev is None or self._pos_full_sync:
@@ -734,6 +754,12 @@ class HNSWIndex:
             layer.adj = remap_ids(adj)[keep]
             layer.pos = np.full(cap, -1, np.int32)
             layer.pos[layer.nodes] = np.arange(len(layer.nodes), dtype=np.int32)
+            # layer0 is a REUSED object: drop its cached device pos map,
+            # else queries keep routing through pre-import slot->row
+            # mappings (the adj setter above already drops the adjacency)
+            layer._pos_dev = None
+            layer._pos_full_sync = True
+            layer._pos_pending.clear()
 
         load_layer(self.layer0, data["layer0_nodes"], data["layer0_adj"])
         n_layers = int(data["n_layers"])

@@ -82,7 +82,10 @@ class Collector:
         _, truth = oracle.search_slots(queries, k)
         _, got = collection.engine.search_slots(queries, k)
         hits = sum(
-            len(set(truth[b].tolist()) & set(got[b].tolist()))
+            len(
+                {t for t in truth[b].tolist() if t >= 0}
+                & {g for g in got[b].tolist() if g >= 0}
+            )
             for b in range(len(pick))
         )
         self._recall = hits / (len(pick) * min(k, store.size))

@@ -143,7 +143,8 @@ class Metrics:
             return
         self._rings[(collection, "search")].record(ms)
         now = time.time()
-        self._query_times.append(now)
+        with self._lock:
+            self._query_times.append(now)
         if _HAS_PROM:
             self.search_latency.labels(collection).observe(ms)
             self.search_total.labels(collection).inc()
@@ -189,8 +190,9 @@ class Metrics:
 
     def current_qps(self, window_s: float = 10.0) -> float:
         now = time.time()
-        recent = [t for t in self._query_times if now - t <= window_s]
-        return len(recent) / window_s
+        with self._lock:  # appends race the iteration (server thread pool)
+            snap = list(self._query_times)
+        return sum(1 for t in snap if now - t <= window_s) / window_s
 
     def latency_stats(self, collection: str, op: str = "search") -> dict:
         return self._rings[(collection, op)].stats()

@@ -139,11 +139,19 @@ def beam_search(
     B, d = queries.shape
     cap = vectors.shape[0]
     deg = adj.shape[1]
-    block = deg * expand  # candidate block per iteration
+    # candidate block per iteration, padded to a power of two: the merge
+    # is a bitonic network, which only sorts pow2 widths — a non-pow2
+    # degree (m0=48 is a legitimate 2x-m setting) must pad, not crash
+    block = deg * expand
+    while block & (block - 1):
+        block += 1
+    pad_cols = block - deg * expand
     use_bitmap = visited == "bitmap"
-    ring_len = max(2 * ef, 128)
-    # beam width padded so beam + candidate block is a power of two (the
-    # merge is a bitonic network, not a sort custom call)
+    # the ring must be a multiple of the per-iteration block:
+    # dynamic_update_slice CLAMPS start indices, so a non-aligned offset
+    # would pin late writes to the tail (part of the ring never written,
+    # colliding offsets expiring entries early)
+    ring_len = -(-max(2 * ef, 128) // block) * block
     total = 1
     while total < ef + block:
         total *= 2
@@ -223,7 +231,13 @@ def beam_search(
         rows = pos_map[jnp.maximum(curs, 0)]  # [B, expand]
         rows_ok = (curs >= 0) & (rows >= 0) & active[:, None]
         nbrs = adj[jnp.maximum(rows, 0)]  # [B, expand, deg]
-        nbrs = jnp.where(rows_ok[:, :, None], nbrs, -1).reshape(B, block)
+        nbrs = jnp.where(rows_ok[:, :, None], nbrs, -1).reshape(
+            B, deg * expand
+        )
+        if pad_cols:
+            nbrs = jnp.concatenate(
+                [nbrs, jnp.full((B, pad_cols), -1, jnp.int32)], axis=1
+            )
 
         ok = (nbrs >= 0) & valid[jnp.maximum(nbrs, 0)]
         # 4. dedup: drop duplicates within the block (expanded nodes share

@@ -493,6 +493,15 @@ class PersistenceManager:
         db.go:462-520)."""
         if not os.path.isdir(src):
             raise FileNotFoundError(f"backup directory not found: {src}")
+        # drop cached WAL writers BEFORE the tree goes away: a writer kept
+        # across the rmtree holds an fd to an unlinked inode — post-restore
+        # appends would be journaled into nothing and lost on crash
+        with self._wal_lock:
+            writers = list(self._wals.values())
+            self._wals.clear()
+        for w in writers:
+            if hasattr(w, "close"):
+                w.close()
         if os.path.isdir(self.root):
             shutil.rmtree(self.root)
         shutil.copytree(src, self.root)

@@ -283,3 +283,36 @@ def test_clear_rows():
     cols.clear_rows([0])
     m = cols.compile_facet_filters([EqualityFilter("category", "electronics")])
     assert not m[0] and m[1]
+
+
+def test_request_filter_device_host_parity_grid():
+    """Compiled request-filter masks agree with the host oracle cell by
+    cell across mixed types, numeric-looking strings, bools, nulls and
+    absent fields — a tracked field must never change results (the old
+    case-sensitive column missed Sprintf cross-type matches and let
+    '!='/'not_in' match stored nulls)."""
+    from quiver_tpu.facets.filters import matches_request_filter
+
+    rows = [
+        {"v": "5"}, {"v": 5}, {"v": 5.0}, {"v": 7}, {"v": "hello"},
+        {"v": "Hello"}, {"v": None}, {"v": True}, {"v": ""}, {},
+    ]
+    cols = FacetColumns(16, ["v"])
+    cols.index_rows(np.arange(len(rows)), rows)
+    cases = [
+        ("=", 5), ("=", "5"), ("=", 5.0), ("=", "hello"), ("=", "Hello"),
+        ("=", True), ("=", ""), ("!=", 5), ("!=", "hello"), ("!=", True),
+        ("in", [5, "hello"]), ("in", ["5"]), ("not_in", [5]),
+        ("not_in", ["hello", 7]), ("not_in", "notalist"),
+    ]
+    for op, val in cases:
+        flt = Filter("v", op, val)
+        mask = cols.compile_request_filters([flt])
+        assert mask is not None, (op, val)
+        want = [matches_request_filter(md, flt) for md in rows]
+        got = mask[: len(rows)].tolist()
+        assert got == want, (op, val, got, want)
+    # a list-valued row forces the host fallback for the whole column
+    cols2 = FacetColumns(8, ["v"])
+    cols2.index_rows(np.arange(2), [{"v": [1, 2]}, {"v": 3}])
+    assert cols2.compile_request_filters([Filter("v", "=", 3)]) is None

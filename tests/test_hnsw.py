@@ -248,3 +248,54 @@ def test_ef_changes_beam_behavior():
         recs.append(hit)
     assert recs[-1] >= recs[0] - 1e-9
     assert recs[-1] >= 0.9
+
+
+def test_update_churn_grows_row_space_past_capacity():
+    # update = delete + reinsert appends a fresh adjacency row per op, so
+    # sustained churn legitimately needs MORE rows than the store has
+    # slots; the device row pad must grow (it used to cap at capacity:
+    # new rows' edges were scatter-dropped and query gathers clamped onto
+    # the last row — silent graph corruption)
+    rng = np.random.default_rng(3)
+    n = 600
+    store = VectorStore(dim=D, metric="euclidean", capacity=n)  # -> 1024
+    vecs = rng.normal(size=(n, D)).astype(np.float32)
+    idx = HNSWIndex(store, build_batch=256)
+    slots = store.add_batch([f"v{i}" for i in range(n)], vecs)
+    idx.on_insert(slots, vecs)
+    ids = [f"v{i}" for i in range(n)]
+    cur = vecs.copy()
+    for r in range(4):
+        pick = rng.choice(n, size=128, replace=False)
+        fresh = rng.normal(size=(128, D)).astype(np.float32)
+        sl = np.asarray([store.slot_of(ids[p]) for p in pick])
+        store.update_batch([ids[p] for p in pick], fresh)
+        idx.on_update(sl, fresh)
+        cur[pick] = fresh
+    assert len(idx.layer0.nodes) > store.capacity  # churn outgrew slots
+    # every row (updated or not) is still reachable at its CURRENT value
+    _, got = idx.search_slots(cur, k=1)
+    want = np.asarray([store.slot_of(i) for i in ids])
+    assert (got[:, 0] == want).mean() >= 0.95
+
+
+def test_import_topology_into_used_index_refreshes_pos():
+    # importing into an index that already SERVED queries must drop the
+    # cached device slot->row map (it used to keep routing through the
+    # pre-import mapping, silently returning wrong neighbors)
+    store1, idx1, vecs = build(n=300)
+    data = idx1.export_topology()
+    n = 300
+    store2 = VectorStore(dim=D, metric="euclidean")
+    order = np.arange(n)[::-1]
+    slots2 = store2.add_batch([f"v{i}" for i in order], vecs[order])
+    idx2 = HNSWIndex(store2, build_batch=256)
+    idx2.on_insert(slots2, vecs[order])
+    idx2.search_slots(vecs[:8], k=5)  # hot device caches
+    remap = np.full(store1.capacity, -1, np.int64)
+    for i in range(n):
+        remap[store1.slot_of(f"v{i}")] = store2.slot_of(f"v{i}")
+    idx2.import_topology(data, remap)
+    _, got = idx2.search_slots(vecs[:64], k=1)
+    want = np.asarray([store2.slot_of(f"v{i}") for i in range(64)])
+    assert (got[:, 0] == want).mean() >= 0.95
