@@ -47,10 +47,66 @@ class ServerConfig:
     jwt_secret: str = ""
     rate_limit: float = 0.0  # requests/s per client; 0 disables
     shutdown_timeout_s: float = 10.0
+    #: micro-batch window for concurrent single-search requests: the first
+    #: arrival waits up to this long for companions, then every pending
+    #: request for that collection dispatches as ONE batched engine call —
+    #: queries are a batch dimension of one kernel launch, the TPU-native
+    #: replacement for the reference's goroutine-per-query fan-out
+    #: (pkg/hnsw/adapter.go:238-290). 0 disables (direct per-request path).
+    coalesce_window_ms: float = 2.0
+    #: flush immediately once this many requests are pending
+    coalesce_max_batch: int = 256
 
     def validate(self) -> None:
         if self.enable_auth and not self.jwt_secret:
             raise ValueError("jwt_secret required when auth is enabled")
+        if self.coalesce_window_ms < 0 or self.coalesce_max_batch < 1:
+            raise ValueError("invalid search-coalescing configuration")
+
+
+class _SearchCoalescer:
+    """Micro-batches concurrent single-search requests per collection.
+
+    Bookkeeping runs on the event loop (no locks needed); the batched
+    engine call runs in a worker thread like every other blocking handler.
+    ``Collection.search_batch`` already groups mixed k/options internally
+    and returns responses in request order."""
+
+    def __init__(self, window_s: float, max_batch: int):
+        self.window_s = window_s
+        self.max_batch = max_batch
+        self._pending: dict[str, list] = {}
+
+    async def submit(self, coll, req):
+        loop = asyncio.get_running_loop()
+        fut = loop.create_future()
+        q = self._pending.setdefault(coll.name, [])
+        q.append((coll, req, fut))
+        if len(q) >= self.max_batch:
+            self._flush(coll.name)
+        elif len(q) == 1:
+            loop.call_later(self.window_s, self._flush, coll.name)
+        return await fut
+
+    def _flush(self, name: str) -> None:
+        batch = self._pending.pop(name, [])
+        if not batch:  # already flushed by the max_batch trigger
+            return
+        coll = batch[0][0]
+        reqs = [r for _c, r, _f in batch]
+
+        async def run():
+            try:
+                resps = await asyncio.to_thread(coll.search_batch, reqs)
+                for (_c, _r, fut), resp in zip(batch, resps):
+                    if not fut.done():
+                        fut.set_result(resp)
+            except Exception as e:
+                for _c, _r, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+        asyncio.get_running_loop().create_task(run())
 
 
 def _json_error(status: int, message: str) -> web.Response:
@@ -62,6 +118,14 @@ class Server:
         self.db = db
         self.config = config or ServerConfig()
         self.config.validate()
+        self._coalescer = (
+            _SearchCoalescer(
+                self.config.coalesce_window_ms / 1e3,
+                self.config.coalesce_max_batch,
+            )
+            if self.config.coalesce_window_ms > 0
+            else None
+        )
         self.app = web.Application(middlewares=self._middlewares())
         self._routes()
         self._runner: Optional[web.AppRunner] = None
@@ -309,7 +373,10 @@ class Server:
     async def search(self, request: web.Request) -> web.Response:
         coll = self.db.get_collection(request.match_info["name"])
         req = self._parse_search_request(await request.json())
-        resp = await asyncio.to_thread(coll.search, req)
+        if self._coalescer is not None:
+            resp = await self._coalescer.submit(coll, req)
+        else:
+            resp = await asyncio.to_thread(coll.search, req)
         return web.json_response(self._response_json(resp))
 
     async def batch_search(self, request: web.Request) -> web.Response:

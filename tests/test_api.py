@@ -267,3 +267,51 @@ def test_rate_limit_enforced():
         assert 429 in codes
     finally:
         st.stop()
+
+
+def test_concurrent_searches_coalesce(tmp_path):
+    """Concurrent single-search requests micro-batch into ONE batched
+    engine call (queries as a batch dimension — the TPU-native answer to
+    the reference's goroutine fan-out), and every caller still gets ITS
+    OWN result."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    db = DB(DBOptions(
+        storage_path=str(tmp_path / "co-data"),
+        default_engine="exact", flush_interval_s=0,
+    ))
+    st = ServerThread(db, ServerConfig(
+        host="127.0.0.1", port=18085, enable_metrics_server=False,
+        coalesce_window_ms=50.0,  # wide window: one flush for the burst
+    )).start()
+    base = "http://127.0.0.1:18085"
+    try:
+        requests.post(f"{base}/api/v1/collections", json={
+            "name": "co", "dimension": D, "distance_function": "euclidean",
+        })
+        rng = np.random.default_rng(1)
+        vecs = rng.normal(size=(32, D)).astype(np.float32) * 10
+        requests.post(f"{base}/api/v1/collections/co/vectors/batch", json={
+            "vectors": [
+                {"id": f"v{i}", "vector": vecs[i].tolist()} for i in range(32)
+            ],
+        })
+        coll = db.get_collection("co")
+        calls = []
+        orig = coll.search_batch
+        coll.search_batch = lambda reqs: (calls.append(len(reqs)), orig(reqs))[1]
+
+        def one(i):
+            r = requests.post(f"{base}/api/v1/collections/co/search", json={
+                "vector": vecs[i].tolist(), "top_k": 1,
+            })
+            assert r.status_code == 200, r.text
+            return r.json()["results"][0]["id"]
+
+        with ThreadPoolExecutor(max_workers=12) as ex:
+            got = list(ex.map(one, range(12)))
+        assert got == [f"v{i}" for i in range(12)]  # per-caller results
+        assert sum(calls) == 12
+        assert len(calls) <= 3, calls  # burst coalesced into few dispatches
+    finally:
+        st.stop()
