@@ -140,3 +140,11 @@ def test_fuzz_exact_strict():
                 for gd, wd in zip(got_d, want_sorted):
                     assert abs(gd - wd) < 1e-3, f"step {step}: {gd} vs {wd}"
     assert store.size == len(model)
+
+
+def test_fuzz_hybrid_random_ops():
+    """The hybrid orchestrator (auto backend -> IVF + adaptive selector +
+    pending-write bookkeeping) under the same churn as the raw engines."""
+    from quiver_tpu.index.hybrid import HybridIndex
+
+    _run_fuzz(lambda s: HybridIndex(s), seed=300)
