@@ -27,6 +27,7 @@ DEFAULTS = {
     "enable_auth": False,
     "jwt_secret": "",
     "rate_limit": 0.0,
+    "coalesce_window_ms": 2.0,
     "flush_interval_s": 300.0,
     "default_engine": "hybrid",
     "compute_dtype": "float32",
@@ -102,13 +103,17 @@ def cli(ctx: click.Context, config_path, data_dir, log_level) -> None:
 @click.option("--auth/--no-auth", "enable_auth", default=None)
 @click.option("--jwt-secret", default=None)
 @click.option("--rate-limit", type=float, default=None)
+@click.option("--coalesce-window-ms", type=float, default=None,
+              help="micro-batch window for concurrent searches; 0 disables")
 @click.pass_obj
-def serve(cfg, host, port, metrics_port, enable_auth, jwt_secret, rate_limit) -> None:
+def serve(cfg, host, port, metrics_port, enable_auth, jwt_secret, rate_limit,
+          coalesce_window_ms) -> None:
     """Start the REST API server (reference serveCmd, main.go:91-143)."""
     for key, val in (
         ("host", host), ("port", port), ("metrics_port", metrics_port),
         ("enable_auth", enable_auth), ("jwt_secret", jwt_secret),
         ("rate_limit", rate_limit),
+        ("coalesce_window_ms", coalesce_window_ms),
     ):
         if val is not None:
             cfg[key] = val
@@ -124,6 +129,7 @@ def serve(cfg, host, port, metrics_port, enable_auth, jwt_secret, rate_limit) ->
             enable_auth=bool(cfg["enable_auth"]),
             jwt_secret=cfg["jwt_secret"],
             rate_limit=float(cfg["rate_limit"]),
+            coalesce_window_ms=float(cfg["coalesce_window_ms"]),
         ),
     )
     server.run()
