@@ -176,6 +176,9 @@ class IVFIndex:
         self._overflow: set[int] = set()
         self._built_size = 0
         self._churn = 0
+        self._n_retrains = 0  # full k-means builds (operator-visible)
+        self._n_refreshes = 0  # cheap re-layouts on existing centroids
+        self._last_rebuild_s = 0.0
 
     # ------------------------------------------------------------ properties
 
@@ -202,6 +205,9 @@ class IVFIndex:
 
     def build(self, k: Optional[int] = None) -> None:
         """(Re)train k-means over live rows and lay out the block tensor."""
+        import time as _time
+
+        t0 = _time.perf_counter()
         c = self.config
         valid = self.store._np_valid
         n_live = int(valid.sum())
@@ -235,6 +241,8 @@ class IVFIndex:
         self._centroids = cents
         self._cent_dev = self._put_cent_dev(cents)
         self._layout_from_assign(assign, len(cents), cmax=cmax)
+        self._n_retrains += 1
+        self._last_rebuild_s = _time.perf_counter() - t0
 
     def _prepare_clusters(self, cents, assign):
         """Hook: remap (centroids, assignment) into the engine's cluster
@@ -355,6 +363,7 @@ class IVFIndex:
         # the drift baseline belongs to the TRAINED centroids: successive
         # refreshes must not ratchet it up (slow drift would escape)
         self._built_resid = base
+        self._n_refreshes += 1
 
     def _maybe_rebuild(self) -> None:
         c = self.config
@@ -776,6 +785,9 @@ class IVFIndex:
             "n_clusters": self.n_clusters,
             "overflow": len(self._overflow),
             "churn_since_build": self._churn,
+            "retrains": self._n_retrains,
+            "refreshes": self._n_refreshes,
+            "last_retrain_s": round(self._last_rebuild_s, 3),
             "config": self.get_optimization_parameters(),
         }
 
