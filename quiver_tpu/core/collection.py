@@ -35,6 +35,7 @@ from quiver_tpu.facets.filters import (
 )
 from quiver_tpu.index.exact import ExactIndex
 from quiver_tpu.observability.metrics import global_metrics
+from quiver_tpu.utils.profiling import trace_span
 from quiver_tpu.types import (
     DistanceType,
     Filter,
@@ -155,7 +156,10 @@ class Collection:
                 self._auto_track_fields(metadatas)
             self.facets.index_rows(slots, metadatas)
             if hasattr(self.engine, "on_insert"):
-                self.engine.on_insert(slots, vecs)
+                with trace_span(
+                    "insert.engine", collection=self.name, batch=len(ids)
+                ):
+                    self.engine.on_insert(slots, vecs)
             if self.wal is not None:
                 self.wal.append_many(
                     ("add", vid, vec, md)
@@ -336,7 +340,8 @@ class Collection:
         mask = None
         host_filter = False
         if req0.filters:
-            mask_np = self.facets.compile_request_filters(req0.filters)
+            with trace_span("search.filter", collection=self.name):
+                mask_np = self.facets.compile_request_filters(req0.filters)
             if mask_np is None:
                 host_filter = True
             else:
@@ -363,7 +368,10 @@ class Collection:
         )
         if req0.strategy is not None and hasattr(self.engine, "selector"):
             engine_kw["strategy"] = req0.strategy
-        dist, slots = self._engine_search(queries, search_k, **engine_kw)
+        with trace_span(
+            "search.traversal", collection=self.name, batch=len(requests)
+        ):
+            dist, slots = self._engine_search(queries, search_k, **engine_kw)
         traversal_ms = (time.perf_counter() - t_t0) * 1e3
 
         # --- post-filter + assemble
