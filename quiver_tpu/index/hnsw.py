@@ -207,6 +207,13 @@ class HNSWConfig:
     #: — the diversity heuristic needs only coarse ordering — and keeps
     #: the build's [B, N, d] MXU scans at full bf16 rate.
     query_dtype: str = "float32"
+    #: rebuild-from-live (compaction) once appended adjacency rows exceed
+    #: this multiple of the live count: delete/update churn appends a
+    #: fresh row per reinsert (rows are never reclaimed in place), so a
+    #: long-running churn workload otherwise grows the device row space
+    #: without bound. The rebuild is the reference's own load behavior
+    #: (index/arrow_hnsw.go:201-241 re-derives topology from vectors).
+    compact_growth: float = 4.0
     seed: int = 42
 
 
@@ -425,6 +432,7 @@ class HNSWIndex:
         self._dev_gen = -1
         self._graph_version = 0
         self._dev = None
+        self._n_compactions = 0
         #: device-side running count of reverse edges dropped past the
         #: connect budgets (fetched only by get_detailed_metrics)
         self._spill_dev = None
@@ -461,6 +469,7 @@ class HNSWIndex:
         delete+reinsert (collection.go:417-466) — same here."""
         self.on_delete(slots)
         self.on_insert(slots, vectors)
+        self._maybe_compact()
 
     def on_delete(self, slots: np.ndarray) -> None:
         slots = np.asarray(slots, np.int32)
@@ -473,6 +482,36 @@ class HNSWIndex:
         if self.entry_point in set(int(s) for s in slots):
             self._reelect_entry()
         self._dirty()
+        self._maybe_compact()
+
+    def _maybe_compact(self) -> None:
+        live = int((self.node_level >= 0).sum())
+        rows = len(self.layer0.nodes)
+        if rows >= 4096 and rows > self.config.compact_growth * max(live, 1):
+            self.rebuild()
+
+    def rebuild(self) -> None:
+        """Rebuild the graph from the store's live rows: compacts the
+        append-only adjacency row space (every reinsert appends a row —
+        _Layer._row_capacity) and re-derives all topology from current
+        vectors, exactly what the reference does on every load
+        (index/arrow_hnsw.go:201-241). Deterministic given the config
+        seed; sharded mirrors resync via the fresh layers' None feed."""
+        c = self.config
+        cap = self.store.capacity
+        self.layer0 = _Layer(c.m0, cap)
+        self.layers = []
+        self.node_level = np.full(cap, -1, np.int16)
+        self.entry_point = -1
+        self.current_max_level = -1
+        self._rng = np.random.default_rng(c.seed)
+        self._dev = None
+        self._spill_dev = None
+        self._n_compactions += 1
+        self._dirty()
+        live = np.flatnonzero(self.store._np_valid)
+        if len(live):
+            self.on_insert(live, self.store._np_vectors[live])
 
     def _reelect_entry(self) -> None:
         """Entry-point re-election after a delete (hnsw.go:797-830)."""
@@ -699,6 +738,7 @@ class HNSWIndex:
             "reverse_edges_spilled": (
                 0 if self._spill_dev is None else int(self._spill_dev)
             ),
+            "compactions": self._n_compactions,
             "config": self.get_optimization_parameters(),
         }
 

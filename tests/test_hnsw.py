@@ -299,3 +299,33 @@ def test_import_topology_into_used_index_refreshes_pos():
     _, got = idx2.search_slots(vecs[:64], k=1)
     want = np.asarray([store2.slot_of(f"v{i}") for i in range(64)])
     assert (got[:, 0] == want).mean() >= 0.95
+
+
+def test_churn_compaction_rebuilds_row_space():
+    # with compact_growth small, sustained update churn triggers a
+    # rebuild-from-live: rows shrink back to the live count and every
+    # current vector stays reachable
+    rng = np.random.default_rng(5)
+    n = 1200  # churn appends rows past the 4096-row compaction floor
+    store = VectorStore(dim=D, metric="euclidean", capacity=n)
+    vecs = rng.normal(size=(n, D)).astype(np.float32)
+    idx = HNSWIndex(store, build_batch=512, compact_growth=3.0)
+    slots = store.add_batch([f"v{i}" for i in range(n)], vecs)
+    idx.on_insert(slots, vecs)
+    ids = [f"v{i}" for i in range(n)]
+    cur = vecs.copy()
+    for r in range(8):
+        pick = rng.choice(n, size=512, replace=False)
+        fresh = rng.normal(size=(512, D)).astype(np.float32)
+        sl = np.asarray([store.slot_of(ids[p]) for p in pick])
+        store.update_batch([ids[p] for p in pick], fresh)
+        idx.on_update(sl, fresh)
+        cur[pick] = fresh
+        if idx.get_detailed_metrics()["compactions"]:
+            break
+    m = idx.get_detailed_metrics()
+    assert m["compactions"] >= 1, "churn never triggered compaction"
+    assert len(idx.layer0.nodes) <= 3.0 * n  # row space bounded again
+    _, got = idx.search_slots(cur[:256], k=1)
+    want = np.asarray([store.slot_of(i) for i in ids[:256]])
+    assert (got[:, 0] == want).mean() >= 0.95
