@@ -98,14 +98,17 @@ def main() -> None:
     _, i_got = eng.search_slots(queries, K)
     recall = recall_with_ties(np.asarray(i_got), queries, vecs, d10, K)
 
-    # throughput: pipelined device-path batches, fetch-last
-    reps = max(1, B // B_ORACLE)
+    # throughput: pipelined device-path batches, fetch-last. reps rounds
+    # UP so qb really holds B rows (floor division under-filled the batch
+    # for non-multiple B and inflated QPS = B / per_batch)
+    reps = -(-B // B_ORACLE)
     qb = np.concatenate([
         queries if r == 0 else
         (queries + 0.01 * np.random.default_rng(100 + r).normal(
             size=queries.shape)).astype(np.float32)
         for r in range(reps)
     ])[:B]
+    assert len(qb) == B
     qj = jnp.asarray(qb)
 
     def timed_round():
@@ -157,9 +160,16 @@ def main() -> None:
         return time.perf_counter() - t0
 
     wall_L(1), wall_L(5)  # warm both programs
-    dev_per_batch = (min(wall_L(5) for _ in range(ROUNDS))
-                     - min(wall_L(1) for _ in range(ROUNDS))) / 4
-    dev_qps = B / dev_per_batch
+    # difference of two minima: tunnel RTT jitter can make it non-positive
+    # on unlucky rounds — retry with more samples, and omit the device
+    # fields rather than emit a negative/absurd number
+    dev_per_batch = 0.0
+    for extra in range(3):
+        rounds = ROUNDS + 2 * extra
+        dev_per_batch = (min(wall_L(5) for _ in range(rounds))
+                         - min(wall_L(1) for _ in range(rounds))) / 4
+        if dev_per_batch > 0:
+            break
 
     result = {
         "metric": (f"batched QPS/chip, IVF 1M x {D}-d L2, "
@@ -167,10 +177,14 @@ def main() -> None:
         "value": round(qps, 1),
         "unit": "qps",
         "vs_baseline": round(qps / REFERENCE_BATCHED_QPS_PER_CORE, 3),
-        "device_qps": round(dev_qps, 1),
-        "device_vs_baseline": round(dev_qps / REFERENCE_BATCHED_QPS_PER_CORE, 3),
         "pipeline_depth": PIPELINE_DEPTH,
     }
+    if dev_per_batch > 0:
+        dev_qps = B / dev_per_batch
+        result["device_qps"] = round(dev_qps, 1)
+        result["device_vs_baseline"] = round(
+            dev_qps / REFERENCE_BATCHED_QPS_PER_CORE, 3
+        )
     assert recall >= 0.95, f"recall {recall} below target"
     print(json.dumps(result))
 

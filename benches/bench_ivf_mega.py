@@ -32,8 +32,16 @@ def main():
     rng = np.random.default_rng(1)
     B0 = 2048
     queries = (vecs[:B0] + 0.1 * rng.normal(size=(B0, D))).astype(np.float32)
-    z = np.load(TRUTH_CACHE)
-    d10 = z["d"][:, K_TOP - 1]
+    if os.path.exists(TRUTH_CACHE):
+        z = np.load(TRUTH_CACHE)
+        d10 = z["d"][:, K_TOP - 1]
+    else:  # cold /tmp: compute the oracle instead of crashing
+        from benches.truth import exact_truth_f64
+
+        print("# computing f64 truth (cold cache, ~minutes)", flush=True)
+        idx_t, d_t = exact_truth_f64(queries, vecs, K_TOP)
+        np.savez(TRUTH_CACHE, i=idx_t, d=d_t)
+        d10 = d_t[:, K_TOP - 1]
 
     cents, assign, cmax = get_build(vecs, 1024)
     store = VectorStore(dim=D, metric="euclidean", capacity=N)
@@ -83,7 +91,7 @@ def main():
         for k2, v2 in cfg.items():
             setattr(eng.config, k2, v2)
         for B in Bs:
-            reps = max(1, B // B0)
+            reps = -(-B // B0)  # ceil: qb must really hold B rows
             qb = np.concatenate([
                 queries if r == 0 else
                 (queries + 0.01 * np.random.default_rng(100 + r).normal(

@@ -17,7 +17,7 @@ import time
 
 import numpy as np
 
-from bench import BUILD_CACHE, N_PROBE, clustered
+from bench import BUILD_CACHE, N_CENTERS, N_PROBE, clustered
 from benches.common import emit, env_int, recall_at_k
 
 N = env_int("QUIVER_BENCH_N", 1_000_000)
@@ -27,8 +27,25 @@ STREAM_BATCHES = env_int("QUIVER_BENCH_STREAM_BATCHES", 8)
 HNSW_TOPO_CACHE = f"/tmp/hnsw_stream_topo_{N}.npz"
 
 
+def stream_rows(n: int, seed: int = 777) -> np.ndarray:
+    """Fresh in-distribution rows: SAME blob centers as bench.clustered
+    (so the stream doesn't read as distribution drift) but an independent
+    noise stream. The base corpus must be EXACTLY clustered(N) — the
+    generator consumes its RNG as a function of n, so slicing a larger
+    draw would silently mismatch bench.py's build/truth caches."""
+    centers = np.random.default_rng(0).normal(
+        size=(N_CENTERS, D)).astype(np.float32)
+    rng = np.random.default_rng(seed)
+    which = rng.integers(0, N_CENTERS, n)
+    out = centers[which] + 0.25 * rng.normal(size=(n, D)).astype(np.float32)
+    return out.astype(np.float32)
+
+
 def _stream(engine, store, corpus, base_n, exact, rng, label):
-    """Ingest STREAM_BATCHES x STREAM_BATCH rows, querying between batches."""
+    """Ingest STREAM_BATCHES x STREAM_BATCH rows, querying between batches.
+    The FIRST batch's samples are excluded from the emitted means — they
+    carry one-time jit compilation (seconds-scale through the tunnel),
+    which would swamp the steady-state rates every other bench warms away."""
     ins_s = []
     q_ms = []
     recalls = []
@@ -53,12 +70,17 @@ def _stream(engine, store, corpus, base_n, exact, rng, label):
         q_ms.append((time.perf_counter() - t0) * 1e3)
         _, truth = exact.search_slots(q, K)
         recalls.append(recall_at_k(got, truth, K))
-    total_rows = STREAM_BATCHES * STREAM_BATCH
+    warm = 1 if STREAM_BATCHES > 1 else 0  # drop the compile-stall sample
+    steady_rows = (STREAM_BATCHES - warm) * STREAM_BATCH
     emit(
-        f"{label} streaming inserts/s, base N={N} stream {total_rows}",
-        total_rows / sum(ins_s), "inserts/s",
-        query_qps_during_stream=round(B / (np.mean(q_ms) / 1e3), 1),
+        f"{label} streaming inserts/s, base N={N} stream "
+        f"{STREAM_BATCHES * STREAM_BATCH}",
+        steady_rows / sum(ins_s[warm:]), "inserts/s",
+        query_qps_during_stream=round(
+            B / (float(np.mean(q_ms[warm:])) / 1e3), 1
+        ),
         recall_at_10_live=round(float(np.mean(recalls)), 4),
+        first_batch_inserts_per_s=round(STREAM_BATCH / ins_s[0], 1),
     )
 
 
@@ -71,7 +93,12 @@ def main():
     from quiver_tpu.index.ivf import IVFConfig, IVFIndex
 
     total = N + STREAM_BATCHES * STREAM_BATCH
-    corpus = clustered(total)
+    # base EXACTLY matches bench.py's corpus (cache identity); the stream
+    # appends fresh same-distribution rows from an independent noise seed
+    corpus = np.concatenate(
+        [clustered(N), stream_rows(STREAM_BATCHES * STREAM_BATCH)]
+    )
+    assert len(corpus) == total
     rng = np.random.default_rng(7)
 
     # ---------------- IVF

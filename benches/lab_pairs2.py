@@ -67,6 +67,9 @@ def main():
 
     print("devices:", jax.devices(), flush=True)
     vecs = clustered(N)
+    if not os.path.exists(BUILD_CACHE):
+        sys.exit(f"{BUILD_CACHE} missing — run bench_ivf.py (or bench.py) "
+                 "once to build it")
     z = np.load(BUILD_CACHE)
     cents, assign, Cmax = z["centroids"], z["assign"], int(z["cmax"])
     K = len(cents)

@@ -1,8 +1,18 @@
-"""Run every bench module; each prints JSON lines (BASELINE configs #1-#5)."""
+"""Run every bench module; each prints JSON lines (BASELINE configs #1-#5).
 
+cwd-independent: the repo root (where bench.py lives) is derived from this
+file and put on sys.path, so `python benches/run_all.py` works from
+anywhere; a headline-bench failure is reported, not swallowed.
+"""
+
+import os
 import runpy
 import subprocess
 import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if ROOT not in sys.path:
+    sys.path.insert(0, ROOT)
 
 MODULES = [
     "benches.bench_hnsw",
@@ -14,7 +24,11 @@ MODULES = [
 ]
 
 if __name__ == "__main__":
-    subprocess.run([sys.executable, "bench.py"], check=False)
+    rc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bench.py")], cwd=ROOT,
+    ).returncode
+    if rc != 0:
+        print(f"--- bench.py FAILED rc={rc}", flush=True)
     for mod in MODULES:
         print(f"--- {mod}", flush=True)
         try:

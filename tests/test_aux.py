@@ -76,3 +76,17 @@ def test_trace_span_smoke():
         return x + 1
 
     assert f(1) == 2
+
+
+def test_bench_corpus_generators_agree():
+    """The /tmp build/truth caches are only valid while every bench's
+    corpus generator stays byte-identical (benches import or re-declare
+    it); a silent divergence poisons warm-cache runs."""
+    import numpy as np
+
+    import bench
+    from benches import bench_ivf, ivf_lab
+
+    a = bench.clustered(512)
+    assert np.array_equal(a, bench_ivf.clustered(512))
+    assert np.array_equal(a, ivf_lab.clustered(512)[0])
