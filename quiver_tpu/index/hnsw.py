@@ -485,9 +485,14 @@ class HNSWIndex:
         self._maybe_compact()
 
     def _maybe_compact(self) -> None:
+        # only once rows exceed the store capacity does the device pad
+        # actually grow (_Layer._row_capacity doubles past it) — below
+        # that, compaction frees nothing
         live = int((self.node_level >= 0).sum())
         rows = len(self.layer0.nodes)
-        if rows >= 4096 and rows > self.config.compact_growth * max(live, 1):
+        if rows > self.store.capacity and (
+            rows > self.config.compact_growth * max(live, 1)
+        ):
             self.rebuild()
 
     def rebuild(self) -> None:

@@ -274,3 +274,19 @@ def test_sharded_hnsw_topology_mesh_mismatch_ignored(mesh):
     eng2.import_topology(data, np.arange(store.capacity))
     # rejected: no subgraphs restored; engine still serves via fallback
     assert all(sub.entry_point < 0 for sub in eng2._subs)
+
+
+def test_sharded_hnsw_subindex_rebuild_resyncs_mirror(mesh):
+    """A sub-index compaction (rebuild-from-live) replaces its layers —
+    the stacked mesh mirror must resync (fresh layers feed None) and keep
+    answering exactly like a from-scratch restack."""
+    store, vecs, eng = make_graph(mesh, n=1200)
+    _ = eng.search_slots(vecs[:4], k=3)  # builds the stack
+    eng._subs[0].rebuild()  # what churn-triggered compaction performs
+    q = vecs[:16]
+    d_inc, i_inc = eng.search_slots(q, k=8)
+    eng._stacked = None  # force the full restack path
+    eng._stack_sig = None
+    d_full, i_full = eng.search_slots(q, k=8)
+    np.testing.assert_array_equal(i_inc, i_full)
+    np.testing.assert_allclose(d_inc, d_full, rtol=1e-5, atol=1e-5)
