@@ -22,6 +22,7 @@
 // environment): qwal_open / qwal_append / qwal_sync / qwal_close /
 // qwal_read_frames.
 
+#include <cerrno>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -89,10 +90,13 @@ struct Wal {
       size_t off = 0;
       while (off < blob.size()) {
         ssize_t w = ::write(fd, blob.data() + off, blob.size() - off);
+        if (w < 0 && errno == EINTR) continue;  // signal, not a disk error
         if (w <= 0) { ok = false; break; }  // disk error
         off += static_cast<size_t>(w);
       }
-      if (ok && ::fdatasync(fd) != 0) ok = false;
+      while (ok && ::fdatasync(fd) != 0) {
+        if (errno != EINTR) { ok = false; }
+      }
       lk.lock();
       committing = false;
       if (ok) {
