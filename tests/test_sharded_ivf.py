@@ -238,3 +238,17 @@ def test_make_engine_sharded_hybrid_passes_ivf_knobs(mesh):
     assert h.ann.config.n_probe == 5
     with pytest.raises(TypeError):
         make_engine("sharded_hybrid", store, mesh=mesh, bogus_knob=1)
+
+
+def test_fuzz_sharded_ivf_random_ops(mesh):
+    """The cluster-sharded engine under the same random op churn as the
+    single-chip engines (tests/test_fuzz_engines.py) — live-recall vs the
+    exact oracle, no dead/duplicate slots, refresh/retrain tiers on the
+    mesh."""
+    from tests.test_fuzz_engines import _run_fuzz
+
+    _run_fuzz(
+        lambda s: ShardedIVFIndex(s, mesh, config=IVFConfig(
+            n_probe=8, build_threshold=256, rescore=False)),
+        seed=400, steps=60,
+    )
