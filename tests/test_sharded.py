@@ -290,3 +290,15 @@ def test_sharded_hnsw_subindex_rebuild_resyncs_mirror(mesh):
     d_full, i_full = eng.search_slots(q, k=8)
     np.testing.assert_array_equal(i_inc, i_full)
     np.testing.assert_allclose(d_inc, d_full, rtol=1e-5, atol=1e-5)
+
+
+def test_fuzz_sharded_hnsw_random_ops(mesh):
+    """The sharded graph under random op churn (same harness as the
+    single-chip engine fuzz): incremental stack scatters, per-shard
+    tombstones and the under-fill supplement all hold up."""
+    from tests.test_fuzz_engines import _run_fuzz
+
+    _run_fuzz(
+        lambda s: ShardedHNSWIndex(s, mesh, build_batch=256),
+        seed=500, steps=60,
+    )
