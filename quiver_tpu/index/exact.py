@@ -17,6 +17,14 @@ import numpy as np
 from quiver_tpu.core.store import VectorStore
 from quiver_tpu.ops.scan import flat_scan_topk, negative_rerank
 from quiver_tpu.types import DistanceType
+from quiver_tpu.utils.transfer import fetch_np
+
+
+def _pow2(n: int, lo: int = 8) -> int:
+    c = lo
+    while c < n:
+        c *= 2
+    return c
 
 
 class ExactIndex:
@@ -81,9 +89,26 @@ class ExactIndex:
           (dist f32[B, k], slots i32[B, k]) numpy arrays; empty slots are -1.
         """
         view = self.store.device_view()
-        q = jnp.asarray(np.asarray(queries, dtype=np.float32))
-        if q.ndim == 1:
-            q = q[None, :]
+        q_np = np.asarray(queries, dtype=np.float32)
+        if q_np.ndim == 1:
+            q_np = q_np[None, :]
+        # pad the batch to a power of two by repeating the first query so
+        # every caller-supplied B shares one of ~log2(B) compiled programs
+        # (mixed hybrid sub-batches and under-fill supplements otherwise
+        # recompile the scan for every novel batch size)
+        B0 = q_np.shape[0]
+        Bp = _pow2(max(B0, 1))
+        if Bp != B0:
+            q_np = np.concatenate(
+                [q_np, np.broadcast_to(q_np[:1], (Bp - B0, q_np.shape[1]))]
+            )
+        per_query_mask = mask is not None and np.asarray(mask).ndim == 2
+        if per_query_mask and Bp != B0:
+            m_np = np.asarray(mask, bool)
+            mask = np.concatenate(
+                [m_np, np.broadcast_to(m_np[:1], (Bp - B0, m_np.shape[1]))]
+            )
+        q = jnp.asarray(q_np)
         tile = min(self.tile, view.capacity)
         retrieve_k = k if negative is None else max(2 * k, 30)
         retrieve_k = min(retrieve_k, view.capacity)
@@ -101,19 +126,25 @@ class ExactIndex:
             approx_recall=self.approx_recall,
         )
         if negative is not None:
-            neg = jnp.asarray(np.asarray(negative, dtype=np.float32))
-            if neg.ndim == 1:
-                neg = jnp.broadcast_to(neg[None, :], (q.shape[0], q.shape[1]))
+            neg_np = np.asarray(negative, dtype=np.float32)
+            if neg_np.ndim == 1:
+                neg_np = np.broadcast_to(neg_np[None, :], (Bp, q_np.shape[1]))
+            elif neg_np.shape[0] != Bp:
+                neg_np = np.concatenate(
+                    [neg_np,
+                     np.broadcast_to(neg_np[:1], (Bp - B0, neg_np.shape[1]))]
+                )
             dist, idx = negative_rerank(
                 dist,
                 idx,
                 view.vectors,
-                neg,
+                jnp.asarray(neg_np),
                 metric=self.store.metric.value,
                 k=min(k, retrieve_k),
                 weight=negative_weight,
             )
-        return np.asarray(dist), np.asarray(idx)
+        dist, idx = fetch_np(dist, idx)
+        return dist[:B0], idx[:B0]
 
     def search(self, query, k: int, **kw):
         """Single-query convenience -> list[(id, distance)]."""

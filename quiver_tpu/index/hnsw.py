@@ -36,6 +36,7 @@ from quiver_tpu.core.store import VectorStore
 from quiver_tpu.index.exact import ExactIndex
 from quiver_tpu.ops.hnsw_kernels import beam_search, greedy_descent, select_neighbors
 from quiver_tpu.ops.scan import MASKED_DIST, negative_rerank
+from quiver_tpu.utils.transfer import fetch_np
 
 
 def _pad_rows_to(arr: np.ndarray, rows: int, fill: int = -1) -> np.ndarray:
@@ -884,8 +885,7 @@ class HNSWIndex:
                 bd2, bi2, dev.vectors, neg,
                 metric=self._metric(), k=k, weight=negative_weight,
             )
-        dist = np.asarray(bd[:real_b, :k])
-        idx = np.asarray(bi[:real_b, :k])
+        dist, idx = fetch_np(bd[:real_b, :k], bi[:real_b, :k])
         # under-fill supplement (hnsw.go:676-710): if the graph returned
         # fewer than k live results (deletes can disconnect it), merge in
         # an exact scan

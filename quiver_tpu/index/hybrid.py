@@ -385,18 +385,38 @@ class HybridIndex:
     def _search_mixed(self, q, per_q, k, **kw):
         """Run each strategy's sub-batch through its engine and stitch the
         rows back in request order; per-query metrics feed the selector the
-        same way the per-goroutine path feeds the reference's."""
-        out_d = out_s = None
+        same way the per-goroutine path feeds the reference's.
+
+        The two engine calls run on concurrent threads (the TPU analogue of
+        the reference's goroutine fan-out, hybrid_index.go:702-795): each
+        call blocks on a device round trip, and those waits release the
+        GIL, so a mixed batch costs ~one round trip instead of two."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._ensure_graph(force=True)  # before fan-out: build is not
+        # thread-safe against a concurrent exact scan of the same store
+
+        plan = []
         for strat in (EXACT, self.ann_label):
             idx = np.flatnonzero(per_q == strat)
-            if not len(idx):
-                continue
-            if strat != EXACT:
-                self._ensure_graph(force=True)
-            engine = self.exact if strat == EXACT else self.ann
+            if len(idx):
+                engine = self.exact if strat == EXACT else self.ann
+                plan.append((strat, idx, engine))
+
+        def run(item):
+            strat, idx, engine = item
             t0 = time.perf_counter()
             d, s = engine.search_slots(q[idx], k, **kw)
-            ms = (time.perf_counter() - t0) * 1e3
+            return strat, idx, d, s, (time.perf_counter() - t0) * 1e3
+
+        if len(plan) > 1:
+            with ThreadPoolExecutor(max_workers=len(plan)) as pool:
+                results = list(pool.map(run, plan))
+        else:
+            results = [run(plan[0])]
+
+        out_d = out_s = None
+        for strat, idx, d, s, ms in results:
             if out_d is None:
                 out_d = np.empty((q.shape[0], d.shape[1]), d.dtype)
                 out_s = np.empty((q.shape[0], s.shape[1]), s.dtype)

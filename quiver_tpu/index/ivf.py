@@ -40,6 +40,7 @@ from quiver_tpu.ops.ivf_kernels import (
 )
 from quiver_tpu.ops.scan import MASKED_DIST, negative_rerank
 from quiver_tpu.types import DistanceType
+from quiver_tpu.utils.transfer import fetch_np
 
 
 def _pow2(n: int, lo: int = 8, hi: int = 1 << 30) -> int:
@@ -686,8 +687,11 @@ class IVFIndex:
             jnp.asarray(q), retrieve_k,
             mask=None if mask is None else jnp.asarray(np.asarray(mask, bool)),
         )
-        dist = np.array(dist[:B0])  # writable copies: merge paths edit rows
-        idx = np.array(idx[:B0])
+        # one overlapped fetch (≈1 link RTT for both arrays), then slice the
+        # pad rows off host-side; fetch_np returns writable copies so the
+        # merge paths below can edit rows in place
+        dist, idx = fetch_np(dist, idx)
+        dist, idx = dist[:B0], idx[:B0]
         if self._overflow:
             slot_keep = self.store._np_valid.copy()
             if mask is not None:
@@ -728,12 +732,17 @@ class IVFIndex:
             self.store.device_view().vectors,
             jnp.asarray(neg), metric=self._metric(), k=k, weight=weight,
         )
-        return np.array(d2), np.array(i2)
+        return fetch_np(d2, i2)
 
     def _merge_overflow(self, q, dist, idx, keep, k):
         """Exactly score the overflow rows (rows whose cluster block was
-        full) and merge — bounded-size brute force, classic IVF spill."""
-        from quiver_tpu.ops.distance import distance_pairs
+        full) and merge — bounded-size brute force, classic IVF spill.
+
+        Both operand dims pad to powers of two (queries repeat row 0, rows
+        pad with +inf-distance sentinels) so the scoring program is one of
+        ~log2 shapes instead of recompiling for every (B, overflow-count)
+        pair the serving mix produces."""
+        from quiver_tpu.ops.distance import pairwise_distance
 
         slots = np.asarray(sorted(self._overflow), np.int64)
         keep_np = np.asarray(keep)
@@ -741,12 +750,19 @@ class IVFIndex:
         if not len(slots):
             return dist, idx
         rows = self.store._np_vectors[slots]  # [O, d]
-        B = q.shape[0]
-        qb = np.repeat(q, len(slots), axis=0)
-        rb = np.tile(rows, (B, 1))
+        B, O = q.shape[0], len(slots)
+        Bp, Op = _pow2(B), _pow2(O)
+        q_pad = q if Bp == B else np.concatenate(
+            [q, np.broadcast_to(q[:1], (Bp - B, q.shape[1]))]
+        )
+        rows_pad = rows if Op == O else np.concatenate(
+            [rows, np.zeros((Op - O, rows.shape[1]), rows.dtype)]
+        )
         d_o = np.asarray(
-            distance_pairs(jnp.asarray(qb), jnp.asarray(rb), self._metric())
-        ).reshape(B, len(slots))
+            pairwise_distance(
+                jnp.asarray(q_pad), jnp.asarray(rows_pad), self._metric()
+            )
+        )[:B, :O]
         from quiver_tpu.index.hnsw import _merge_rows
 
         o_idx = np.broadcast_to(slots[None, :], d_o.shape)

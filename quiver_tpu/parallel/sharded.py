@@ -32,6 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from quiver_tpu.core.store import VectorStore
 from quiver_tpu.ops.scan import MASKED_DIST, flat_scan_topk
 from quiver_tpu.types import DistanceType
+from quiver_tpu.utils.transfer import fetch_np
 
 DATA_AXIS = "data"
 
@@ -301,4 +302,5 @@ class ShardedExactIndex:
                 mesh=self.mesh, metric=self.store.metric.value,
                 k=min(k, retrieve_k), weight=negative_weight,
             )
-        return np.asarray(dist)[:, :k], np.asarray(idx)[:, :k]
+        dist, idx = fetch_np(dist, idx)
+        return dist[:, :k], idx[:, :k]

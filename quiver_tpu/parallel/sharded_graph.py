@@ -37,6 +37,7 @@ from quiver_tpu.core.store import VectorStore
 from quiver_tpu.index.hnsw import HNSWConfig, HNSWIndex, _merge_rows, _pad_batch_pow2
 from quiver_tpu.ops.hnsw_kernels import beam_search, greedy_descent
 from quiver_tpu.ops.scan import MASKED_DIST
+from quiver_tpu.utils.transfer import fetch_np
 from quiver_tpu.parallel.sharded import (
     DATA_AXIS,
     ShardedExactIndex,
@@ -496,8 +497,7 @@ class ShardedHNSWIndex:
                 mesh=self.mesh, metric=self._metric(), k=k,
                 weight=negative_weight,
             )
-        dist = np.asarray(bd[:real_b, :k])
-        idx = np.asarray(bi[:real_b, :k])
+        dist, idx = fetch_np(bd[:real_b, :k], bi[:real_b, :k])
         # under-fill supplement (hnsw.go:676-710), sharded-exact flavored
         found = (idx >= 0).sum(axis=1)
         want = min(k, self.store.size)

@@ -355,7 +355,9 @@ class ShardedIVFIndex(IVFIndex):
             jnp.asarray(dist), jnp.asarray(idx), vectors, jnp.asarray(neg),
             mesh=self.mesh, metric=self._metric(), k=k, weight=weight,
         )
-        return np.asarray(d2), np.asarray(i2)
+        from quiver_tpu.utils.transfer import fetch_np
+
+        return fetch_np(d2, i2)
 
     # --------------------------------------------------------- persistence
 
