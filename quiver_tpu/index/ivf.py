@@ -23,6 +23,7 @@ asks for ("blockwise-tile the exact scan" taken to its conclusion).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Optional
 
@@ -65,6 +66,47 @@ def _mask_block_keep(block_keep, block_slot, slot_mask):
     """Fold a slot-addressed facet mask into block space (filtered queries
     only — the unfiltered path reads the maintained block_keep directly)."""
     return block_keep & slot_mask[jnp.maximum(block_slot, 0)]
+
+
+@jax.jit
+def _nearest_centroid_slots(slots, vectors, cent, c_ns, live):
+    """Nearest live centroid for STORE rows addressed by slot — the gather
+    reads the store's device copy, so the write path never re-uploads
+    vector data it already synced (tunnel uploads run ~5-14 MB/s; an 8k
+    x 128-d batch is ~4 MB, and the former host-array path paid it twice)."""
+    v = vectors[slots]
+    scores = 2.0 * (v @ cent.T) - c_ns[None, :]
+    scores = jnp.where(live[None, :], scores, -jnp.inf)
+    return jnp.argmax(scores, axis=1)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _scatter_blocks_dev(
+    blocks_t, block_ns, block_inv, block_slot,
+    vectors, norms_sq, cent, rows, pos, slots,
+):
+    """One compiled program for a write batch's block-array maintenance:
+    gather the new rows from the store's device copy, form residuals and
+    per-row stats on device, and scatter all four block arrays. Replaces
+    an eager ``.at[].set`` chain (4 dispatch round trips + a residual
+    re-upload per batch — the write-path wall on a remote link). Pad rows
+    carry ``rows == K`` (out of bounds) and drop."""
+    safe_slot = jnp.maximum(slots, 0)
+    v = vectors[safe_slot]
+    safe_row = jnp.minimum(rows, cent.shape[0] - 1)
+    resid = v - cent[safe_row]
+    rns = jnp.sum(resid * resid, axis=1)
+    ns = norms_sq[safe_slot]
+    inv = jnp.where(ns > 0, jax.lax.rsqrt(jnp.maximum(ns, 1e-30)), 0.0)
+    blocks_t = blocks_t.at[rows, :, pos].set(
+        resid.astype(blocks_t.dtype), mode="drop"
+    )
+    block_ns = block_ns.at[rows, pos].set(rns, mode="drop")
+    block_inv = block_inv.at[rows, pos].set(inv, mode="drop")
+    block_slot = block_slot.at[rows, pos].set(
+        slots.astype(block_slot.dtype), mode="drop"
+    )
+    return blocks_t, block_ns, block_inv, block_slot
 
 
 @jax.jit
@@ -397,7 +439,7 @@ class IVFIndex:
         # within the batch's cluster-runs, offset by the current fill
         # (the former per-row Python loop was the write-path bottleneck,
         # VERDICT r2 weak #8)
-        assign = np.argmax(self._assign_scores(vectors), axis=1)
+        assign = self._assign_slots(slots)
         cmax = self._block_slot.shape[1]
         order = np.argsort(assign, kind="stable")
         sorted_a = assign[order]
@@ -412,7 +454,6 @@ class IVFIndex:
             app_rows = sorted_a[fits].astype(np.int32)
             app_pos = pos[fits].astype(np.int32)
             app_slots = slots[order][fits]
-            app_vecs = vectors[order][fits]
             self._fill += np.bincount(app_rows, minlength=len(self._fill))
             self._slot_pos[app_slots, 0] = app_rows
             self._slot_pos[app_slots, 1] = app_pos
@@ -421,53 +462,78 @@ class IVFIndex:
                 (int(a), int(p), True) for a, p in zip(app_rows, app_pos)
             )
             if len(app_rows):
-                self._scatter_block_rows(
-                    app_rows, app_pos, app_vecs, slots_np=app_slots
-                )
+                self._scatter_block_rows(app_rows, app_pos, app_slots)
         self._churn += len(slots)
         self._maybe_rebuild()
 
-    def _scatter_block_rows(
-        self, rows_np, pos_np, vecs_np, slots_np=None
-    ) -> None:
-        """Scatter residual columns + per-row stats into the block arrays.
+    def _gather_source(self):
+        """(vectors, norms_sq) device arrays the write path gathers rows
+        from. The sharded engine overrides this with its mesh-sharded
+        corpus copy so the write-path programs see mesh-consistent operand
+        placements."""
+        view = self.store.device_view()
+        return view.vectors, view.norms_sq
+
+    def _assign_slots(self, slots_np: np.ndarray) -> np.ndarray:
+        """Nearest live centroid for store rows by SLOT: the vector data is
+        gathered from the store's device copy (already synced by
+        ``add_batch``/``update_batch``), so only the slot indices upload and
+        only the assignment vector downloads."""
+        vectors, _ = self._gather_source()
+        cent_j, c_ns = self._cent_dev
+        K = cent_j.shape[0]
+        live = jnp.asarray(
+            np.ones(K, bool)
+            if self._cluster_live is None
+            else np.asarray(self._cluster_live, bool)
+        )
+        m = _pow2(max(len(slots_np), 8))
+        ps = np.zeros(m, np.int64)
+        ps[: len(slots_np)] = slots_np
+        a = _nearest_centroid_slots(
+            jnp.asarray(ps), vectors, cent_j, c_ns, live
+        )
+        return np.asarray(a)[: len(slots_np)].astype(np.int64)
+
+    def _scatter_block_rows(self, rows_np, pos_np, slots_np) -> None:
+        """Scatter store rows (by slot) into the block arrays — one jitted
+        program (_scatter_blocks_dev): the rows gather from the store's
+        device copy and the residuals/stats compute on device, so a write
+        batch uploads three small index vectors instead of re-shipping the
+        vector data, and the former eager ``.at[].set`` chain's four
+        dispatch round trips collapse to one.
 
         Indices pad to a pow2 length with OOB rows (mode="drop"): a fresh
         index shape per call would be a fresh XLA program — ~6.7 s of
         remote compile per write batch on the tunnel (the same trap the
         HNSW build hit, hnsw._Layer.device)."""
         K = self._blocks_t.shape[0]
-        d = self.store.dim
         m = _pow2(max(len(rows_np), 8))
         rp = np.full(m, K, np.int32)
         rp[: len(rows_np)] = rows_np
         pp = np.zeros(m, np.int32)
         pp[: len(pos_np)] = pos_np
-        vv = np.zeros((m, d), np.float32)
-        vv[: len(vecs_np)] = vecs_np
-        cent = np.zeros((m, d), np.float32)
-        cent[: len(rows_np)] = self._centroids[rows_np]
-        resid = vv - cent  # blocks hold residuals
-        rns = np.sum(resid.astype(np.float64) ** 2, axis=1).astype(np.float32)
-        ns = np.sum(vv.astype(np.float64) ** 2, axis=1).astype(np.float32)
-        inv = np.where(ns > 0, 1.0 / np.sqrt(np.maximum(ns, 1e-30)), 0.0)
-        r = jnp.asarray(rp)
-        p = jnp.asarray(pp)
-        self._blocks_t = self._blocks_t.at[r, :, p].set(
-            jnp.asarray(resid.astype(self._np_compute_dtype())), mode="drop"
+        sp = np.full(m, -1, np.int64)
+        sp[: len(slots_np)] = slots_np
+        vectors, norms = self._gather_source()
+        cent_j, _ = self._cent_dev
+        (
+            self._blocks_t,
+            self._block_ns,
+            self._block_inv,
+            self._block_slot,
+        ) = _scatter_blocks_dev(
+            self._blocks_t,
+            self._block_ns,
+            self._block_inv,
+            self._block_slot,
+            vectors,
+            norms,
+            cent_j,
+            jnp.asarray(rp),
+            jnp.asarray(pp),
+            jnp.asarray(sp),
         )
-        self._block_ns = self._block_ns.at[r, p].set(
-            jnp.asarray(rns), mode="drop"
-        )
-        self._block_inv = self._block_inv.at[r, p].set(
-            jnp.asarray(inv.astype(np.float32)), mode="drop"
-        )
-        if slots_np is not None:
-            sp = np.full(m, -1, np.int32)
-            sp[: len(slots_np)] = slots_np
-            self._block_slot = self._block_slot.at[r, p].set(
-                jnp.asarray(sp), mode="drop"
-            )
 
     def on_update(self, slots: np.ndarray, vectors: np.ndarray) -> None:
         slots = np.asarray(slots, np.int64)
@@ -477,7 +543,7 @@ class IVFIndex:
         self._grow_maps()
         # re-assign: a vector whose nearest centroid changed moves blocks
         # (in-place refresh would leave it invisible to the right probes)
-        new_assign = np.argmax(self._assign_scores(vectors), axis=1)
+        new_assign = self._assign_slots(slots)
         pos = self._slot_pos[slots]
         known = pos[:, 0] >= 0
         stay = known & (pos[:, 0] == new_assign)
@@ -485,7 +551,7 @@ class IVFIndex:
         if stay.any():
             self._scatter_block_rows(
                 pos[stay, 0].astype(np.int32), pos[stay, 1].astype(np.int32),
-                vectors[stay],
+                slots[stay],
             )
         if moved.any():
             # vacate the old block entry, then append as a fresh insert

@@ -344,6 +344,14 @@ class ShardedIVFIndex(IVFIndex):
             has_mask=has_mask,
         )
 
+    def _gather_source(self):
+        """Write-path row source: the sharded exact engine's row-sharded
+        corpus copy — mesh-committed, matching the sharded block arrays'
+        placement (mixing the store's single-device view into the write
+        programs would raise jit's incompatible-devices error)."""
+        vectors, _valid, ns, _inv = self._exact._sharded_view()
+        return vectors, ns
+
     def _rerank_negative(self, q, dist, idx, negative, weight, k):
         """In-mesh negative rerank over the exact engine's row-sharded
         corpus copy (the base class gathers store rows on one device)."""
