@@ -56,6 +56,10 @@ class _FieldColumns:
     """Columnar representation of one facet field."""
 
     def __init__(self, capacity: int):
+        # scalar string vocab (case-folded) -> str_code column; numbers
+        # never enter it — numeric equality/membership compares num_val
+        # directly, so a high-cardinality numeric field (prices, ids)
+        # costs one f32 column, not a per-distinct-value bitset
         self.vocab: dict = {}
         # go-format vocab for request-level operator filters, whose
         # equality is Sprintf-style (collection.go:600-607): EVERY scalar
@@ -69,21 +73,29 @@ class _FieldColumns:
         self.has_num = np.zeros(capacity, bool)
         self.present = np.zeros(capacity, bool)
         self.exists = np.zeros(capacity, bool)
+        # bitset vocab for ARRAY elements only (multi-valued rows are the
+        # one case scalar columns can't express); scalars stay out of it —
+        # the former every-scalar bitset made set_words O(cap x distinct/32)
+        # and each new code an O(cap x words) np.pad copy, which blew up to
+        # minutes and gigabytes on a 100k-row float field
+        self.arr_vocab: dict = {}
         self.set_words = np.zeros((capacity, 1), np.uint32)
         # any row ever held a list/tuple: request-operator compiles punt
         # to the host path (Sprintf of a sequence is not representable)
         self.any_nonscalar = False
 
-    def _code(self, key, create: bool) -> Optional[int]:
-        code = self.vocab.get(key)
+    def _arr_code(self, key, create: bool) -> Optional[int]:
+        code = self.arr_vocab.get(key)
         if code is None and create:
-            code = len(self.vocab)
-            self.vocab[key] = code
+            code = len(self.arr_vocab)
+            self.arr_vocab[key] = code
             needed_words = (code // 32) + 1
             if needed_words > self.set_words.shape[1]:
+                # pow2 column growth: O(log V) copies over a vocab's life
+                new_words = max(needed_words, 2 * self.set_words.shape[1])
                 self.set_words = np.pad(
                     self.set_words,
-                    ((0, 0), (0, needed_words - self.set_words.shape[1])),
+                    ((0, 0), (0, new_words - self.set_words.shape[1])),
                 )
         return code
 
@@ -118,18 +130,20 @@ class _FieldColumns:
         if not present:
             return
         self.exists[slot] = not _is_empty(value)
-        elements = value if isinstance(value, (list, tuple)) else [value]
         scalar = not isinstance(value, (list, tuple))
-        for el in elements:
-            key = _canon(el)
-            if key is None:
-                continue
-            code = self._code(key, create=True)
-            self.set_words[slot, code // 32] |= np.uint32(1 << (code % 32))
+        if not scalar:
+            for el in value:
+                key = _canon(el)
+                if key is None:
+                    continue
+                code = self._arr_code(key, create=True)
+                self.set_words[slot, code // 32] |= np.uint32(1 << (code % 32))
         if scalar:
             key = _canon(value)
             if key is not None and key[0] == "s":
-                self.str_code[slot] = self.vocab[key]
+                self.str_code[slot] = self.vocab.setdefault(
+                    key, len(self.vocab)
+                )
             if value is not None:
                 fmt = _go_format(value)
                 code = self.gofmt_vocab.setdefault(fmt, len(self.gofmt_vocab))
@@ -177,15 +191,30 @@ class _FieldColumns:
         return m
 
     def mask_set(self, values: Sequence[Any]) -> Optional[np.ndarray]:
+        """Membership = scalar-column equality (strings by case-folded
+        code, numbers by num_val) OR'd with the array-element bitset —
+        matching the reference's any-element-in-set semantics
+        (facets.go:265-338) without giving every scalar a bitset bit."""
+        m = np.zeros_like(self.present)
         word_mask = np.zeros(self.set_words.shape[1], np.uint32)
+        any_arr = False
         for v in values:
             key = _canon(v)
             if key is None:
                 continue
-            code = self.vocab.get(key)
-            if code is not None:
-                word_mask[code // 32] |= np.uint32(1 << (code % 32))
-        return (self.set_words & word_mask[None, :]).any(axis=1)
+            if key[0] == "s":
+                code = self.vocab.get(key)
+                if code is not None:
+                    m |= self.str_code == code
+            else:
+                m |= self.has_num & (self.num_val == np.float32(key[1]))
+            acode = self.arr_vocab.get(key)
+            if acode is not None:
+                any_arr = True
+                word_mask[acode // 32] |= np.uint32(1 << (acode % 32))
+        if any_arr:
+            m |= (self.set_words & word_mask[None, :]).any(axis=1)
+        return m
 
     def mask_equality_cs(self, value: Any) -> Optional[np.ndarray]:
         """Request-level '=' equality mirroring the host oracle's

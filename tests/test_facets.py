@@ -316,3 +316,45 @@ def test_request_filter_device_host_parity_grid():
     cols2 = FacetColumns(8, ["v"])
     cols2.index_rows(np.arange(2), [{"v": [1, 2]}, {"v": 3}])
     assert cols2.compile_request_filters([Filter("v", "=", 3)]) is None
+
+
+def test_set_membership_scalar_numeric_string_and_array():
+    """SetFilter semantics across the three storage forms after the
+    arr_vocab split (scalars match via columns, arrays via the bitset)."""
+    cols = FacetColumns(capacity=16, fields=["v"])
+    cols.index_rows(
+        range(6),
+        [
+            {"v": 5},            # scalar int
+            {"v": 5.0},          # scalar float, unified with 5
+            {"v": "SALE"},       # scalar string, case-folded
+            {"v": [5, 9]},       # array containing a match
+            {"v": ["sale"]},     # array string element
+            {"v": 7},            # no match
+        ],
+    )
+    m = cols.compile_facet_filters([SetFilter("v", [5, "sale"])])
+    assert m is not None
+    assert m[:5].all() and not m[5]
+    # numeric-only filter: string rows don't match, arrays do
+    m2 = cols.compile_facet_filters([SetFilter("v", [9])])
+    assert not m2[2] and m2[3] and m2.sum() == 1
+
+
+def test_high_cardinality_numeric_field_stays_bounded():
+    """A float field with all-distinct values must not grow per-value
+    bitsets (the former layout allocated O(cap x distinct/32) words and
+    re-copied them per new value — minutes and GBs at 100k rows)."""
+    import time
+
+    n = 20_000
+    cols = FacetColumns(capacity=n, fields=["price"])
+    mds = [{"price": float(i) + 0.5} for i in range(n)]
+    t0 = time.perf_counter()
+    cols.index_rows(range(n), mds)
+    dt = time.perf_counter() - t0
+    col = cols.fields["price"]
+    assert col.set_words.shape[1] == 1  # no array elements -> no bitset
+    assert dt < 10.0  # linear indexing (was ~60 s at this size)
+    m = cols.compile_facet_filters([SetFilter("price", [17.5, 19999.5])])
+    assert m[17] and m[n - 1] and m.sum() == 2
