@@ -34,7 +34,10 @@ REFERENCE_BATCHED_QPS_PER_CORE = 149_254.0
 
 N, D, K = 1_000_000, 128, 10
 N_CENTERS = 1000
-B = int(os.environ.get("QUIVER_BENCH_B", 16384))
+# B=65536 amortizes the per-dispatch fixed cost best: 13.08x wall vs
+# 10.3x at 16384 and 12.3x at 131072 (swept 2026-08-18, two runs each
+# within 0.3%); recall is B-independent (measured on the oracle sample)
+B = int(os.environ.get("QUIVER_BENCH_B", 65536))
 # n_probe=3 on the permuted-id layout: recall 0.980 (>= the 0.95 gate
 # with margin) at ~19% more QPS than n_probe=4 — swept 2026-08-17
 N_PROBE = int(os.environ.get("QUIVER_BENCH_NPROBE", 3))
