@@ -24,6 +24,8 @@ asks for ("blockwise-tile the exact scan" taken to its conclusion).
 from __future__ import annotations
 
 import functools
+import threading
+import time
 from dataclasses import dataclass
 from typing import Optional
 
@@ -180,7 +182,24 @@ class IVFConfig:
     #: keeps the ratio ~1, a shifted distribution blows it up (and stale
     #: centroids would silently cap recall)
     refresh_drift: float = 2.0
+    #: run churn-triggered refresh/retrain on a background thread: the old
+    #: layout keeps serving (and keeps absorbing writes) while a staging
+    #: layout builds from a store snapshot; writes that land during the
+    #: rebuild replay onto the staging layout from the store's change feed
+    #: and the swap happens under the engine lock, so a write call never
+    #: stalls behind k-means (50 s+ at 1M — the reference keeps its heavy
+    #: maintenance on a background goroutine too,
+    #: pkg/persistence/manager.go:136-148). Explicit build()/refresh()
+    #: calls stay synchronous. False = maintenance runs inline inside the
+    #: triggering write call (deterministic; tests of the tier policy).
+    background_maintenance: bool = True
     seed: int = 42
+
+
+#: swap-time replay budget: deltas larger than this replay lock-free first
+#: (catch-up loop), so the final locked replay — the only write/query stall
+#: the swap imposes — stays small and bounded
+_LOCKED_REPLAY_MAX = 8192
 
 
 class IVFIndex:
@@ -219,9 +238,22 @@ class IVFIndex:
         self._overflow: set[int] = set()
         self._built_size = 0
         self._churn = 0
+        self._cmax = None  # block width of the current layout
         self._n_retrains = 0  # full k-means builds (operator-visible)
         self._n_refreshes = 0  # cheap re-layouts on existing centroids
         self._last_rebuild_s = 0.0
+        # --- background maintenance (IVFConfig.background_maintenance):
+        # the engine lock serializes writes, layout swaps and the query
+        # path's host preamble; a staging clone (same class, same store)
+        # builds the next layout off-thread and _adopt() transplants it
+        self._lock = threading.RLock()
+        self._staging = False  # True on maintenance clones (inert triggers)
+        self._layout_gen = 0  # bumps on every installed layout
+        self._maint_thread: Optional[threading.Thread] = None
+        self._maint_pending: Optional[str] = None
+        self._maint_error: Optional[str] = None
+        self._maint_swaps = 0
+        self._maint_last_stall_s = 0.0
 
     # ------------------------------------------------------------ properties
 
@@ -247,45 +279,48 @@ class IVFIndex:
         return max(8, min(_pow2(want), n_live // 8))
 
     def build(self, k: Optional[int] = None) -> None:
-        """(Re)train k-means over live rows and lay out the block tensor."""
-        import time as _time
+        """(Re)train k-means over live rows and lay out the block tensor.
 
-        t0 = _time.perf_counter()
-        c = self.config
-        valid = self.store._np_valid
-        n_live = int(valid.sum())
-        if n_live < 16:
-            return
-        K = k or c.n_clusters or self._auto_k(n_live)
-        K = min(K, n_live)
-        cents, assign = train_kmeans(
-            self.store._np_vectors, valid, K, n_iters=c.kmeans_iters,
-            seed=c.seed,
-        )
-        # cap clusters by SPLITTING (extra local centroids), never by
-        # spilling rows to far clusters — spill caps recall (~0.95 on
-        # clustered data) because probes can't reach spilled rows
-        cmax = _cmax_shape(c.cmax_factor * max(n_live, 1) / K)
-        cents, assign = split_oversized(
-            self.store._np_vectors, cents, np.asarray(assign, np.int64),
-            cmax, seed=c.seed,
-        )
-        # de-correlate cluster ids from space: split fragments are spatially
-        # ADJACENT and consecutively numbered, but the windowed probe
-        # selection (ops/ivf_kernels._select_probes) keeps only the top-2
-        # per 128-id window under the assumption that ids partition space
-        # arbitrarily — without this shuffle a query whose best clusters
-        # are sibling fragments loses all but two of them (measured: lost
-        # self-recall on clustered corpora)
-        perm = np.random.default_rng(c.seed + 1).permutation(len(cents))
-        cents = cents[np.argsort(perm)]
-        assign = np.where(assign >= 0, perm[assign], -1)
-        cents, assign = self._prepare_clusters(cents, assign)
-        self._centroids = cents
-        self._cent_dev = self._put_cent_dev(cents)
-        self._layout_from_assign(assign, len(cents), cmax=cmax)
-        self._n_retrains += 1
-        self._last_rebuild_s = _time.perf_counter() - t0
+        Synchronous — callers use it at bulk-load time; churn-triggered
+        rebuilds go through the background maintenance path instead
+        (:meth:`_maybe_rebuild`). Holds the engine lock for the duration."""
+        with self._lock:
+            t0 = time.perf_counter()
+            c = self.config
+            valid = self.store._np_valid
+            n_live = int(valid.sum())
+            if n_live < 16:
+                return
+            K = k or c.n_clusters or self._auto_k(n_live)
+            K = min(K, n_live)
+            cents, assign = train_kmeans(
+                self.store._np_vectors, valid, K, n_iters=c.kmeans_iters,
+                seed=c.seed,
+            )
+            # cap clusters by SPLITTING (extra local centroids), never by
+            # spilling rows to far clusters — spill caps recall (~0.95 on
+            # clustered data) because probes can't reach spilled rows
+            cmax = _cmax_shape(c.cmax_factor * max(n_live, 1) / K)
+            cents, assign = split_oversized(
+                self.store._np_vectors, cents, np.asarray(assign, np.int64),
+                cmax, seed=c.seed,
+            )
+            # de-correlate cluster ids from space: split fragments are
+            # spatially ADJACENT and consecutively numbered, but the
+            # windowed probe selection (ops/ivf_kernels._select_probes)
+            # keeps only the top-2 per 128-id window under the assumption
+            # that ids partition space arbitrarily — without this shuffle a
+            # query whose best clusters are sibling fragments loses all but
+            # two of them (measured: lost self-recall on clustered corpora)
+            perm = np.random.default_rng(c.seed + 1).permutation(len(cents))
+            cents = cents[np.argsort(perm)]
+            assign = np.where(assign >= 0, perm[assign], -1)
+            cents, assign = self._prepare_clusters(cents, assign)
+            self._centroids = cents
+            self._cent_dev = self._put_cent_dev(cents)
+            self._layout_from_assign(assign, len(cents), cmax=cmax)
+            self._n_retrains += 1
+            self._last_rebuild_s = time.perf_counter() - t0
 
     def _prepare_clusters(self, cents, assign):
         """Hook: remap (centroids, assignment) into the engine's cluster
@@ -368,49 +403,59 @@ class IVFIndex:
         (ops/ivf_kernels.balance_assignment); escalates to a full build
         when the corpus outgrew the centroids (not enough total room, or a
         spill fraction that would turn into recall loss)."""
-        if not self._built or self._centroids is None:
-            return self.build()
-        valid = self.store._np_valid
-        rows = np.flatnonzero(valid)
-        n_live = len(rows)
-        if n_live < 16:
-            self._built = False
-            return
-        K = len(self._centroids)
-        cmax = int(self._block_slot.shape[1])
-        n_live_clusters = (
-            K if self._cluster_live is None else int(self._cluster_live.sum())
-        )
-        if n_live > n_live_clusters * cmax:
-            return self.build()  # no room even with spill: resize/retrain
-        vecs = self.store._np_vectors[rows]
-        a, best_s = self._assign_nearest(vecs, return_scores=True)
-        assign = np.full(self.store.capacity, -1, np.int64)
-        assign[rows] = a
-        counts = np.bincount(a, minlength=K)
-        spill = int(np.maximum(counts - cmax, 0).sum())
-        if spill > 0.02 * n_live:
-            return self.build()  # heavy overflow: centroids are stale
-        # drift detector: |v - c*|^2 = |v|^2 - best affine score; a mean
-        # squared residual far above the at-build value means the stream
-        # shifted away from the trained centroids (refresh would silently
-        # cap recall — the probes nearest a drifted query scan wrong blocks)
-        vns = np.sum(vecs.astype(np.float64) ** 2, axis=1)
-        resid_ms = float(np.mean(np.maximum(vns - best_s, 0.0)))
-        if self._built_resid is not None and resid_ms > (
-            self.config.refresh_drift * max(self._built_resid, 1e-12) + 1e-9
-        ):
-            return self.build()
-        base = self._built_resid
-        self._layout_from_assign(assign, K, cmax=cmax)
-        # the drift baseline belongs to the TRAINED centroids: successive
-        # refreshes must not ratchet it up (slow drift would escape)
-        self._built_resid = base
-        self._n_refreshes += 1
+        with self._lock:
+            if not self._built or self._centroids is None:
+                return self.build()
+            valid = self.store._np_valid
+            rows = np.flatnonzero(valid)
+            n_live = len(rows)
+            if n_live < 16:
+                self._built = False
+                return
+            K = len(self._centroids)
+            cmax = int(self._cmax)
+            n_live_clusters = (
+                K if self._cluster_live is None
+                else int(self._cluster_live.sum())
+            )
+            if n_live > n_live_clusters * cmax:
+                return self.build()  # no room even w/ spill: resize/retrain
+            vecs = self.store._np_vectors[rows]
+            a, best_s = self._assign_nearest(vecs, return_scores=True)
+            assign = np.full(self.store.capacity, -1, np.int64)
+            assign[rows] = a
+            counts = np.bincount(a, minlength=K)
+            spill = int(np.maximum(counts - cmax, 0).sum())
+            if spill > 0.02 * n_live:
+                return self.build()  # heavy overflow: centroids are stale
+            # drift detector: |v - c*|^2 = |v|^2 - best affine score; a mean
+            # squared residual far above the at-build value means the stream
+            # shifted away from the trained centroids (refresh would
+            # silently cap recall — the probes nearest a drifted query scan
+            # wrong blocks)
+            vns = np.sum(vecs.astype(np.float64) ** 2, axis=1)
+            resid_ms = float(np.mean(np.maximum(vns - best_s, 0.0)))
+            if self._built_resid is not None and resid_ms > (
+                self.config.refresh_drift * max(self._built_resid, 1e-12)
+                + 1e-9
+            ):
+                return self.build()
+            base = self._built_resid
+            self._layout_from_assign(assign, K, cmax=cmax)
+            # the drift baseline belongs to the TRAINED centroids:
+            # successive refreshes must not ratchet it up (slow drift
+            # would escape)
+            self._built_resid = base
+            self._n_refreshes += 1
 
     def _maybe_rebuild(self) -> None:
+        if self._staging:
+            return  # maintenance clones never recurse into maintenance
         c = self.config
         if not self._built:
+            # initial build is a bulk-load moment, not a serving-path
+            # stall: stay synchronous (queries fall back to the exact scan
+            # until built either way)
             if self.store.size >= c.build_threshold:
                 self.build()
             return
@@ -418,53 +463,258 @@ class IVFIndex:
             return
         ratio = self._churn / max(self._built_size, 1)
         if ratio > c.retrain_growth:
-            self.build()
+            kind = "build"
         elif (
             ratio > c.rebuild_growth
             or len(self._overflow) > 0.05 * self._built_size
         ):
-            self.refresh()
+            kind = "refresh"
+        else:
+            return
+        if not c.background_maintenance:
+            (self.build if kind == "build" else self.refresh)()
+            return
+        self._submit_maintenance(kind)
+
+    # ------------------------------------------------- background maintenance
+
+    def _submit_maintenance(self, kind: str) -> None:
+        """Queue a churn-triggered rebuild on the maintenance thread. One
+        job runs at a time; a second trigger while one is in flight queues
+        (and a queued refresh upgrades to a retrain, never the reverse)."""
+        with self._lock:
+            if self._maint_thread is not None and self._maint_thread.is_alive():
+                if kind == "build" or self._maint_pending == "build":
+                    self._maint_pending = "build"
+                else:
+                    self._maint_pending = self._maint_pending or kind
+                return
+            t = threading.Thread(
+                target=self._maintenance_job, args=(kind,),
+                name="ivf-maintenance", daemon=True,
+            )
+            self._maint_thread = t
+            t.start()
+
+    def wait_maintenance(self, timeout: Optional[float] = None) -> bool:
+        """Block until no maintenance job runs or queues (True), or the
+        timeout lapses (False). Benches/tests use this to make background
+        rebuilds deterministic; serving code never needs it."""
+        deadline = None if timeout is None else time.monotonic() + timeout
+        while True:
+            with self._lock:
+                t = self._maint_thread
+                if t is None and self._maint_pending is None:
+                    return True
+            if t is None:
+                time.sleep(0.005)
+            else:
+                t.join(
+                    None if deadline is None
+                    else max(deadline - time.monotonic(), 0.0)
+                )
+            if deadline is not None and time.monotonic() >= deadline:
+                with self._lock:
+                    return (
+                        self._maint_thread is None
+                        and self._maint_pending is None
+                    )
+
+    def _maintenance_job(self, kind: str) -> None:
+        try:
+            self._run_maintenance(kind)
+        except Exception as e:  # noqa: BLE001 — background thread boundary
+            self._maint_error = repr(e)
+        finally:
+            # clear-and-resubmit under ONE lock acquisition, so a waiter
+            # can never observe (no thread, no pending) while a queued job
+            # is still owed a thread
+            with self._lock:
+                self._maint_thread = None
+                pending, self._maint_pending = self._maint_pending, None
+                if pending is not None:
+                    self._submit_maintenance(pending)
+
+    def _run_maintenance(self, kind: str) -> None:
+        """Double-buffered rebuild: build the next layout into a staging
+        clone from a store snapshot, catch up with writes that landed
+        meanwhile via the store's change feed (lock-free while the delta is
+        big), then take the engine lock for one final small replay and the
+        atomic field swap. Write calls stall only for that last replay
+        (bounded by _LOCKED_REPLAY_MAX rows); queries keep serving the old
+        layout — which also absorbed every write — throughout."""
+        for _attempt in range(4):
+            gen0 = self._layout_gen
+            cursor, _ = self.store.changes_since(None)
+            eng = self._make_staging(kind)
+            if kind == "build" or not eng._built:
+                eng.build()
+            else:
+                eng.refresh()  # may escalate to build() internally
+            if not eng._built:
+                return  # corpus shrank below viability; exact path serves
+            restart = False
+            while True:
+                cursor, delta = self.store.changes_since(cursor)
+                if delta is None:
+                    restart = True  # capacity growth / feed overflow
+                    break
+                if len(delta) > _LOCKED_REPLAY_MAX:
+                    self._replay_into(eng, delta)
+                    continue
+                t0 = time.perf_counter()
+                with self._lock:
+                    if self._layout_gen != gen0:
+                        return  # an explicit build/import superseded us
+                    cursor, delta2 = self.store.changes_since(cursor)
+                    if delta2 is None:
+                        restart = True
+                    else:
+                        if len(delta2):
+                            delta = np.union1d(delta, delta2)
+                        self._replay_into(eng, delta)
+                        self._adopt(eng)
+                        self._maint_last_stall_s = time.perf_counter() - t0
+                if not restart:
+                    return
+                break
+
+    #: layout fields transplanted wholesale at swap time
+    _ADOPT_FIELDS = (
+        "_centroids", "_cent_dev", "_cluster_live", "_blocks_t",
+        "_block_slot", "_block_ns", "_block_inv", "_block_keep",
+        "_keep_pending", "_fill", "_built_resid", "_slot_pos", "_overflow",
+        "_built", "_built_size", "_churn", "_cmax",
+    )
+    #: subclass state copied into refresh clones and back at adoption
+    #: (sharded adds its cluster-ownership geometry)
+    _CLONE_EXTRA: tuple = ()
+
+    def _clone_for_maintenance(self) -> "IVFIndex":
+        """Hook: a fresh engine of the same class over the same store, used
+        as the staging target for background rebuilds."""
+        return type(self)(
+            self.store, config=self.config, compute_dtype=self.compute_dtype
+        )
+
+    def _make_staging(self, kind: str) -> "IVFIndex":
+        eng = self._clone_for_maintenance()
+        eng._staging = True
+        if kind != "build":
+            with self._lock:
+                # refresh reuses the trained centroids and layout geometry;
+                # everything here is immutable or replaced-not-mutated, so
+                # sharing references with the serving engine is safe (the
+                # block tensors are NOT shared — the write path donates
+                # them to XLA, and a shared donation would invalidate the
+                # serving copy)
+                eng._centroids = self._centroids
+                eng._cent_dev = self._cent_dev
+                eng._cluster_live = self._cluster_live
+                eng._cmax = self._cmax
+                eng._built_resid = self._built_resid
+                eng._built = self._built
+                for f in self._CLONE_EXTRA:
+                    setattr(eng, f, getattr(self, f))
+        return eng
+
+    def _replay_into(self, eng: "IVFIndex", slots: np.ndarray) -> None:
+        """Bring a staging layout up to date with store mutations that
+        landed after its snapshot: vacate every touched slot, then
+        re-insert the live ones through the normal write path. Idempotent —
+        a slot replayed here AND written by a racing writer after the swap
+        resolves to one block entry (on_insert vacates first)."""
+        slots = np.asarray(slots, np.int64)
+        slots = slots[slots < eng.store.capacity]
+        if not eng._built or not len(slots):
+            return
+        vecs, valid = self.store.read_rows(slots)
+        with eng._lock:
+            eng._grow_maps()
+            eng._vacate_slots(slots)
+            if valid.any():
+                eng.on_insert(slots[valid], vecs[valid])
+
+    def _adopt(self, eng: "IVFIndex") -> None:
+        """Install a staging clone's layout as the serving layout (caller
+        holds the engine lock)."""
+        for f in self._ADOPT_FIELDS + self._CLONE_EXTRA:
+            setattr(self, f, getattr(eng, f))
+        self._n_retrains += eng._n_retrains
+        self._n_refreshes += eng._n_refreshes
+        if eng._n_retrains or eng._n_refreshes:
+            self._last_rebuild_s = eng._last_rebuild_s
+        self._layout_gen += 1
+        self._maint_swaps += 1
 
     # ------------------------------------------------------------- write API
 
     def on_insert(self, slots: np.ndarray, vectors: np.ndarray) -> None:
         slots = np.asarray(slots, np.int64)
         vectors = np.asarray(vectors, np.float32)
-        if not self._built:
+        with self._lock:
+            if not self._built:
+                self._maybe_rebuild()
+                return
+            self._grow_maps()
+            # idempotent: re-inserting a slot the layout already holds (a
+            # swap replay racing the writer that produced the same slot)
+            # must not double-represent it
+            pos0 = self._slot_pos[slots]
+            if (pos0[:, 0] >= 0).any() or (
+                self._overflow
+                and not self._overflow.isdisjoint(int(s) for s in slots)
+            ):
+                self._vacate_slots(slots)
+            # assign to nearest centroid (one matmul); place each row at
+            # its cluster's next free position — vectorized: sort by
+            # cluster, rank within the batch's cluster-runs, offset by the
+            # current fill (the former per-row Python loop was the
+            # write-path bottleneck, VERDICT r2 weak #8)
+            assign = self._assign_slots(slots)
+            cmax = self._block_slot.shape[1]
+            order = np.argsort(assign, kind="stable")
+            sorted_a = assign[order]
+            n = len(order)
+            if n:
+                is_start = np.concatenate(
+                    [[True], sorted_a[1:] != sorted_a[:-1]]
+                )
+                start = np.maximum.accumulate(
+                    np.where(is_start, np.arange(n), 0)
+                )
+                pos = self._fill[sorted_a] + (np.arange(n) - start)
+                fits = pos < cmax
+                app_rows = sorted_a[fits].astype(np.int32)
+                app_pos = pos[fits].astype(np.int32)
+                app_slots = slots[order][fits]
+                self._fill += np.bincount(app_rows, minlength=len(self._fill))
+                self._slot_pos[app_slots, 0] = app_rows
+                self._slot_pos[app_slots, 1] = app_pos
+                self._overflow.update(int(s) for s in slots[order][~fits])
+                self._keep_pending.extend(
+                    (int(a), int(p), True) for a, p in zip(app_rows, app_pos)
+                )
+                if len(app_rows):
+                    self._scatter_block_rows(app_rows, app_pos, app_slots)
+            self._churn += len(slots)
             self._maybe_rebuild()
-            return
-        self._grow_maps()
-        # assign to nearest centroid (one matmul); place each row at its
-        # cluster's next free position — vectorized: sort by cluster, rank
-        # within the batch's cluster-runs, offset by the current fill
-        # (the former per-row Python loop was the write-path bottleneck,
-        # VERDICT r2 weak #8)
-        assign = self._assign_slots(slots)
-        cmax = self._block_slot.shape[1]
-        order = np.argsort(assign, kind="stable")
-        sorted_a = assign[order]
-        n = len(order)
-        if n:
-            is_start = np.concatenate([[True], sorted_a[1:] != sorted_a[:-1]])
-            start = np.maximum.accumulate(
-                np.where(is_start, np.arange(n), 0)
-            )
-            pos = self._fill[sorted_a] + (np.arange(n) - start)
-            fits = pos < cmax
-            app_rows = sorted_a[fits].astype(np.int32)
-            app_pos = pos[fits].astype(np.int32)
-            app_slots = slots[order][fits]
-            self._fill += np.bincount(app_rows, minlength=len(self._fill))
-            self._slot_pos[app_slots, 0] = app_rows
-            self._slot_pos[app_slots, 1] = app_pos
-            self._overflow.update(int(s) for s in slots[order][~fits])
+
+    def _vacate_slots(self, slots: np.ndarray) -> None:
+        """Remove slots from the block layout: keep-bit tombstones for the
+        positions held (lazy scatter, same as on_delete) plus map/overflow
+        resets. No-op for slots the layout doesn't hold. Caller holds the
+        engine lock. Vacated positions are reclaimed at the next
+        re-layout, not reused in place (fill only grows; churn accounting
+        covers the waste)."""
+        pos = self._slot_pos[slots]
+        known = pos[:, 0] >= 0
+        if known.any():
             self._keep_pending.extend(
-                (int(a), int(p), True) for a, p in zip(app_rows, app_pos)
+                (int(r), int(p), False) for r, p in pos[known]
             )
-            if len(app_rows):
-                self._scatter_block_rows(app_rows, app_pos, app_slots)
-        self._churn += len(slots)
-        self._maybe_rebuild()
+        self._slot_pos[slots] = -1
+        self._overflow.difference_update(int(s) for s in slots)
 
     def _gather_source(self):
         """(vectors, norms_sq) device arrays the write path gathers rows
@@ -538,42 +788,30 @@ class IVFIndex:
     def on_update(self, slots: np.ndarray, vectors: np.ndarray) -> None:
         slots = np.asarray(slots, np.int64)
         vectors = np.asarray(vectors, np.float32)
-        if not self._built:
-            return
-        self._grow_maps()
-        # re-assign: a vector whose nearest centroid changed moves blocks
-        # (in-place refresh would leave it invisible to the right probes)
-        new_assign = self._assign_slots(slots)
-        pos = self._slot_pos[slots]
-        known = pos[:, 0] >= 0
-        stay = known & (pos[:, 0] == new_assign)
-        moved = ~stay
-        if stay.any():
-            self._scatter_block_rows(
-                pos[stay, 0].astype(np.int32), pos[stay, 1].astype(np.int32),
-                slots[stay],
-            )
-        if moved.any():
-            # vacate the old block entry, then append as a fresh insert
-            old = pos[moved & known]
-            if len(old):
-                K = self._blocks_t.shape[0]
-                m = _pow2(max(len(old), 8))
-                rp = np.full(m, K, np.int32)
-                rp[: len(old)] = old[:, 0]
-                pp = np.zeros(m, np.int32)
-                pp[: len(old)] = old[:, 1]
-                self._block_slot = self._block_slot.at[
-                    jnp.asarray(rp), jnp.asarray(pp)
-                ].set(-1, mode="drop")
-                self._keep_pending.extend(
-                    (int(r_), int(p_), False) for r_, p_ in old
+        with self._lock:
+            if not self._built:
+                return
+            self._grow_maps()
+            # re-assign: a vector whose nearest centroid changed moves
+            # blocks (in-place refresh would leave it invisible to the
+            # right probes)
+            new_assign = self._assign_slots(slots)
+            pos = self._slot_pos[slots]
+            known = pos[:, 0] >= 0
+            stay = known & (pos[:, 0] == new_assign)
+            moved = ~stay
+            if stay.any():
+                self._scatter_block_rows(
+                    pos[stay, 0].astype(np.int32),
+                    pos[stay, 1].astype(np.int32),
+                    slots[stay],
                 )
-            self._slot_pos[slots[moved]] = -1
-            self._overflow.difference_update(int(s) for s in slots[moved])
-            self.on_insert(slots[moved], vectors[moved])
-        self._churn += len(slots)
-        self._maybe_rebuild()
+            if moved.any():
+                # vacate the old block entry, then append as a fresh insert
+                self._vacate_slots(slots[moved])
+                self.on_insert(slots[moved], vectors[moved])
+            self._churn += len(slots)
+            self._maybe_rebuild()
 
     def on_delete(self, slots: np.ndarray) -> None:
         # mark the block positions dead and forget them — the store may
@@ -581,19 +819,18 @@ class IVFIndex:
         # mask would then resurrect the STALE block entry (old vector,
         # duplicate slot in results)
         slots = np.asarray(slots, np.int64)
-        if self._built:
-            pos = self._slot_pos[slots]
-            for (r, p), s in zip(pos, slots):
-                if r >= 0:
-                    self._keep_pending.append((int(r), int(p), False))
-            self._slot_pos[slots] = -1
-        self._overflow.difference_update(int(s) for s in slots)
-        self._churn += len(slots)
-        self._maybe_rebuild()
+        with self._lock:
+            if self._built:
+                self._vacate_slots(slots)
+            else:
+                self._overflow.difference_update(int(s) for s in slots)
+            self._churn += len(slots)
+            self._maybe_rebuild()
 
     def _keep_dev(self):
         """Apply pending keep-bit scatters (one dispatch per query batch at
-        most — write paths only queue host-side tuples)."""
+        most — write paths only queue host-side tuples). Caller holds the
+        engine lock."""
         if self._keep_pending:
             # last write wins per position (scatter order with duplicate
             # indices is undefined; insert-then-delete of one slot in the
@@ -640,40 +877,46 @@ class IVFIndex:
         layered on top of this. Used by the pipelined serving benches
         (dispatch many batches, fetch the last — the only timing that
         survives a remote-dispatch link) and by callers that keep results
-        on device."""
-        if not self._built:
-            raise RuntimeError("IVF index is not built")
-        dev = self.store.device_view()
-        block_keep = self._keep_dev()
-        if mask is not None:
-            block_keep = _mask_block_keep(
-                block_keep, self._block_slot, mask
+        on device.
+
+        Holds the engine lock across the host preamble + dispatch (the
+        dispatch is asynchronous — the lock is NOT held while the device
+        computes), so a concurrent maintenance swap can't tear the layout
+        mid-read."""
+        with self._lock:
+            if not self._built:
+                raise RuntimeError("IVF index is not built")
+            dev = self.store.device_view()
+            block_keep = self._keep_dev()
+            if mask is not None:
+                block_keep = _mask_block_keep(
+                    block_keep, self._block_slot, mask
+                )
+            cent_j, c_ns = self._cent_dev
+            K = cent_j.shape[0]
+            P = min(self.config.n_probe, K)
+            form, interp = self._resolve_formulation(k)
+            return ivf_query(
+                queries, cent_j, c_ns,
+                self._blocks_t, self._block_slot, self._block_ns,
+                self._block_inv, block_keep, dev.vectors,
+                metric=self._metric(), k=k, n_probe=P,
+                # q_cap only parameterizes the einsum formulation; pinning
+                # it elsewhere avoids spurious jit-cache keys as B varies
+                q_cap=(
+                    self._q_cap(queries.shape[0], P, K)
+                    if form == "einsum" else 8
+                ),
+                compute_dtype=self.compute_dtype,
+                oversample=self.config.oversample,
+                probe_approx=self.config.probe_approx,
+                probe_sel_approx=self.config.probe_sel_approx,
+                formulation=form,
+                seg_width=self.config.seg_width,
+                rescore=self.config.rescore,
+                fused_interpret=interp,
+                fused_kg=self.config.fused_kg,
             )
-        cent_j, c_ns = self._cent_dev
-        K = cent_j.shape[0]
-        P = min(self.config.n_probe, K)
-        form, interp = self._resolve_formulation(k)
-        return ivf_query(
-            queries, cent_j, c_ns,
-            self._blocks_t, self._block_slot, self._block_ns,
-            self._block_inv, block_keep, dev.vectors,
-            metric=self._metric(), k=k, n_probe=P,
-            # q_cap only parameterizes the einsum formulation; pinning it
-            # elsewhere avoids spurious jit-cache keys as B varies
-            q_cap=(
-                self._q_cap(queries.shape[0], P, K)
-                if form == "einsum" else 8
-            ),
-            compute_dtype=self.compute_dtype,
-            oversample=self.config.oversample,
-            probe_approx=self.config.probe_approx,
-            probe_sel_approx=self.config.probe_sel_approx,
-            formulation=form,
-            seg_width=self.config.seg_width,
-            rescore=self.config.rescore,
-            fused_interpret=interp,
-            fused_kg=self.config.fused_kg,
-        )
 
     def _resolve_formulation(self, k: int):
         """("fused"|"einsum"|"pairs", interpret) — "auto" resolves to the
@@ -749,21 +992,29 @@ class IVFIndex:
                 [q, np.broadcast_to(q[:1], (Bp - B0, q.shape[1]))]
             )
         retrieve_k = k if negative is None else min(max(2 * k, 30), self.store.size)
-        dist, idx = self.search_slots_device(
-            jnp.asarray(q), retrieve_k,
-            mask=None if mask is None else jnp.asarray(np.asarray(mask, bool)),
-        )
+        with self._lock:
+            dist, idx = self.search_slots_device(
+                jnp.asarray(q), retrieve_k,
+                mask=None if mask is None else jnp.asarray(
+                    np.asarray(mask, bool)
+                ),
+            )
+            # snapshot the overflow set atomically with the dispatch: a
+            # maintenance swap between dispatch and fetch would otherwise
+            # pair the OLD layout's results with the NEW (empty) overflow
+            # set and drop the spilled rows from this batch's results
+            overflow = sorted(self._overflow) if self._overflow else None
         # one overlapped fetch (≈1 link RTT for both arrays), then slice the
         # pad rows off host-side; fetch_np returns writable copies so the
         # merge paths below can edit rows in place
         dist, idx = fetch_np(dist, idx)
         dist, idx = dist[:B0], idx[:B0]
-        if self._overflow:
+        if overflow:
             slot_keep = self.store._np_valid.copy()
             if mask is not None:
                 slot_keep &= np.asarray(mask, bool)
             dist, idx = self._merge_overflow(
-                q[:B0], dist, idx, slot_keep, retrieve_k
+                q[:B0], dist, idx, slot_keep, retrieve_k, overflow
             )
         if negative is not None:
             dist, idx = self._rerank_negative(
@@ -800,9 +1051,10 @@ class IVFIndex:
         )
         return fetch_np(d2, i2)
 
-    def _merge_overflow(self, q, dist, idx, keep, k):
+    def _merge_overflow(self, q, dist, idx, keep, k, overflow):
         """Exactly score the overflow rows (rows whose cluster block was
         full) and merge — bounded-size brute force, classic IVF spill.
+        ``overflow`` is the sorted slot list snapshotted at dispatch time.
 
         Both operand dims pad to powers of two (queries repeat row 0, rows
         pad with +inf-distance sentinels) so the scoring program is one of
@@ -810,7 +1062,7 @@ class IVFIndex:
         pair the serving mix produces."""
         from quiver_tpu.ops.distance import pairwise_distance
 
-        slots = np.asarray(sorted(self._overflow), np.int64)
+        slots = np.asarray(overflow, np.int64)
         keep_np = np.asarray(keep)
         slots = slots[keep_np[slots]]
         if not len(slots):
@@ -861,62 +1113,76 @@ class IVFIndex:
             raise ValueError(f"immutable or unknown parameters: {sorted(unknown)}")
 
     def get_detailed_metrics(self) -> dict:
-        return {
-            "size": self.size,
-            "built": self._built,
-            "n_clusters": self.n_clusters,
-            "overflow": len(self._overflow),
-            "churn_since_build": self._churn,
-            "retrains": self._n_retrains,
-            "refreshes": self._n_refreshes,
-            "last_retrain_s": round(self._last_rebuild_s, 3),
-            "config": self.get_optimization_parameters(),
-        }
+        with self._lock:
+            inflight = (
+                self._maint_thread is not None
+                and self._maint_thread.is_alive()
+            )
+            return {
+                "size": self.size,
+                "built": self._built,
+                "n_clusters": self.n_clusters,
+                "overflow": len(self._overflow),
+                "churn_since_build": self._churn,
+                "retrains": self._n_retrains,
+                "refreshes": self._n_refreshes,
+                "last_retrain_s": round(self._last_rebuild_s, 3),
+                "maintenance": {
+                    "inflight": inflight,
+                    "pending": self._maint_pending,
+                    "swaps": self._maint_swaps,
+                    "last_swap_stall_s": round(self._maint_last_stall_s, 4),
+                    "error": self._maint_error,
+                },
+                "config": self.get_optimization_parameters(),
+            }
 
     # ---------------------------------------------------------- persistence
 
     def export_topology(self) -> Optional[dict]:
         """Sidecar: centroids + assignment (slot-addressed), so load skips
         k-means retraining (block layout is rebuilt deterministically)."""
-        if not self._built:
-            return None
-        assign = np.full(self.store.capacity, -1, np.int64)
-        live = self._slot_pos[:, 0] >= 0
-        assign[live] = self._slot_pos[live, 0]
-        return {
-            "format_version": np.int64(1),
-            "kind": np.bytes_(b"ivf"),
-            "centroids": self._centroids.copy(),
-            "assign": assign,
-            "cmax": np.int64(self._block_slot.shape[1]),
-        }
+        with self._lock:
+            if not self._built:
+                return None
+            assign = np.full(self.store.capacity, -1, np.int64)
+            live = self._slot_pos[:, 0] >= 0
+            assign[live] = self._slot_pos[live, 0]
+            return {
+                "format_version": np.int64(1),
+                "kind": np.bytes_(b"ivf"),
+                "centroids": self._centroids.copy(),
+                "assign": assign,
+                "cmax": np.int64(self._cmax),
+            }
 
     def import_topology(self, data: dict, slot_remap: np.ndarray) -> None:
         kind = data.get("kind")
         if kind is not None and bytes(kind) != b"ivf":
             return
-        cents = np.asarray(data["centroids"], np.float32)
-        K = len(cents)
-        old_assign = np.asarray(data["assign"], np.int64)
-        assign = np.full(self.store.capacity, -1, np.int64)
-        old_slots = np.flatnonzero(old_assign >= 0)
-        new_slots = slot_remap[old_slots]
-        ok = new_slots >= 0
-        assign[new_slots[ok]] = old_assign[old_slots[ok]]
-        # rows the sidecar doesn't know (WAL adds) assign to their centroid
-        # (reserved cluster ids masked out via _assign_scores)
-        self._centroids = cents
-        self._cent_dev = self._put_cent_dev(cents)
-        valid = self.store._np_valid
-        unknown = np.flatnonzero(valid & (assign < 0))
-        if len(unknown):
-            assign[unknown] = self._assign_nearest(
-                self.store._np_vectors[unknown]
+        with self._lock:
+            cents = np.asarray(data["centroids"], np.float32)
+            K = len(cents)
+            old_assign = np.asarray(data["assign"], np.int64)
+            assign = np.full(self.store.capacity, -1, np.int64)
+            old_slots = np.flatnonzero(old_assign >= 0)
+            new_slots = slot_remap[old_slots]
+            ok = new_slots >= 0
+            assign[new_slots[ok]] = old_assign[old_slots[ok]]
+            # rows the sidecar doesn't know (WAL adds) assign to their
+            # centroid (reserved cluster ids masked out via _assign_scores)
+            self._centroids = cents
+            self._cent_dev = self._put_cent_dev(cents)
+            valid = self.store._np_valid
+            unknown = np.flatnonzero(valid & (assign < 0))
+            if len(unknown):
+                assign[unknown] = self._assign_nearest(
+                    self.store._np_vectors[unknown]
+                )
+            cmax = data.get("cmax")
+            self._layout_from_assign(
+                assign, K, cmax=None if cmax is None else int(cmax)
             )
-        cmax = data.get("cmax")
-        self._layout_from_assign(
-            assign, K, cmax=None if cmax is None else int(cmax)
-        )
 
     def _layout_from_assign(
         self, assign: np.ndarray, K: int, cmax: Optional[int] = None
@@ -978,3 +1244,5 @@ class IVFIndex:
         self._built = True
         self._built_size = n_live
         self._churn = 0
+        self._cmax = int(cmax)
+        self._layout_gen += 1

@@ -20,6 +20,7 @@ TPU slice; the driver's dryrun validates compile+execute the same way.
 
 from __future__ import annotations
 
+import threading
 from functools import partial
 from typing import Optional
 
@@ -221,6 +222,9 @@ class ShardedExactIndex:
         self._cursor = None
         self._sharded = None
         self._scatter = _sharded_scatter_fn(self.mesh)
+        # the view sync mutates (_cursor, _sharded); serving threads and a
+        # background IVF maintenance job may both request it
+        self._view_lock = threading.Lock()
 
     @property
     def size(self) -> int:
@@ -248,18 +252,20 @@ class ShardedExactIndex:
         )
 
     def _sharded_view(self):
-        cursor, changed = self.store.changes_since(self._cursor)
-        if self._sharded is None or changed is None:
-            self._full_resync()
-        elif len(changed):
-            rows, row_valid = self.store.read_rows(changed)
-            v, va, ns, inv = self._sharded
-            self._sharded = self._scatter(
-                v, va, ns, inv,
-                jnp.asarray(changed), jnp.asarray(rows), jnp.asarray(row_valid),
-            )
-        self._cursor = cursor
-        return self._sharded
+        with self._view_lock:
+            cursor, changed = self.store.changes_since(self._cursor)
+            if self._sharded is None or changed is None:
+                self._full_resync()
+            elif len(changed):
+                rows, row_valid = self.store.read_rows(changed)
+                v, va, ns, inv = self._sharded
+                self._sharded = self._scatter(
+                    v, va, ns, inv,
+                    jnp.asarray(changed), jnp.asarray(rows),
+                    jnp.asarray(row_valid),
+                )
+            self._cursor = cursor
+            return self._sharded
 
     def search_slots(
         self,

@@ -249,6 +249,21 @@ class ShardedIVFIndex(IVFIndex):
         self._exact = ShardedExactIndex(store, self.mesh)
         self._k_local = None  # padded per-shard cluster range KL
 
+    #: background-maintenance clones also need the cluster-ownership
+    #: geometry (refresh keeps the id space; index/ivf.py _make_staging)
+    _CLONE_EXTRA = ("_k_local",)
+
+    def _clone_for_maintenance(self) -> "ShardedIVFIndex":
+        eng = ShardedIVFIndex(
+            self.store, self.mesh, config=self.config,
+            compute_dtype=self.compute_dtype,
+            local_pair_factor=self.local_pair_factor,
+        )
+        # share the mesh-sharded corpus copy (internally locked) instead of
+        # paying a second full-corpus device_put per maintenance job
+        eng._exact = self._exact
+        return eng
+
     # ------------------------------------------------------------- layout
 
     def _prepare_clusters(self, cents, assign):
@@ -317,32 +332,33 @@ class ShardedIVFIndex(IVFIndex):
         )
 
     def search_slots_device(self, queries, k: int, *, mask=None):
-        if not self._built:
-            raise RuntimeError("IVF index is not built")
-        block_keep = self._keep_dev()
-        cent_j, c_ns = self._cent_dev
-        Kg = cent_j.shape[0]
-        n_live = int(self._cluster_live.sum())
-        P_ = min(self.config.n_probe, n_live)
-        has_mask = mask is not None
-        smask = (
-            jnp.asarray(mask)
-            if has_mask
-            else jnp.zeros((8,), bool)  # dummy, replicated
-        )
-        return sharded_ivf_query(
-            queries, cent_j, c_ns, jnp.asarray(self._cluster_live),
-            self._blocks_t, self._block_slot, self._block_ns,
-            self._block_inv, block_keep, smask,
-            mesh=self.mesh, metric=self._metric(), k=k, n_probe=P_,
-            m_pairs=self._m_pairs(queries.shape[0], P_),
-            compute_dtype=self.compute_dtype,
-            oversample=self.config.oversample,
-            probe_approx=self.config.probe_approx,
-            probe_sel_approx=self.config.probe_sel_approx,
-            seg_width=self.config.seg_width,
-            has_mask=has_mask,
-        )
+        with self._lock:  # consistent layout vs concurrent maintenance swap
+            if not self._built:
+                raise RuntimeError("IVF index is not built")
+            block_keep = self._keep_dev()
+            cent_j, c_ns = self._cent_dev
+            Kg = cent_j.shape[0]
+            n_live = int(self._cluster_live.sum())
+            P_ = min(self.config.n_probe, n_live)
+            has_mask = mask is not None
+            smask = (
+                jnp.asarray(mask)
+                if has_mask
+                else jnp.zeros((8,), bool)  # dummy, replicated
+            )
+            return sharded_ivf_query(
+                queries, cent_j, c_ns, jnp.asarray(self._cluster_live),
+                self._blocks_t, self._block_slot, self._block_ns,
+                self._block_inv, block_keep, smask,
+                mesh=self.mesh, metric=self._metric(), k=k, n_probe=P_,
+                m_pairs=self._m_pairs(queries.shape[0], P_),
+                compute_dtype=self.compute_dtype,
+                oversample=self.config.oversample,
+                probe_approx=self.config.probe_approx,
+                probe_sel_approx=self.config.probe_sel_approx,
+                seg_width=self.config.seg_width,
+                has_mask=has_mask,
+            )
 
     def _gather_source(self):
         """Write-path row source: the sharded exact engine's row-sharded
