@@ -193,6 +193,24 @@ class IVFConfig:
     #: calls stay synchronous. False = maintenance runs inline inside the
     #: triggering write call (deterministic; tests of the tier policy).
     background_maintenance: bool = True
+    #: auto-tune ``n_probe`` at build time to the smallest value whose
+    #: measured recall@10 on a held-out jittered sample meets this target
+    #: (None = keep the configured n_probe). The tuner first estimates the
+    #: probe-inclusion recall curve host-side (simulating the windowed
+    #: probe selection), then verifies the pick with real engine queries
+    #: against the exact oracle and escalates if short — so the headline
+    #: knob is engine behavior that transfers to any corpus, not a
+    #: hand-swept constant (VERDICT r3 next #5; adaptive spirit of
+    #: reference pkg/hybrid/adaptive.go:75-174).
+    recall_target: Optional[float] = None
+    #: held-out sample size for the tuner's oracle measurement
+    recall_sample: int = 256
+    #: tuner query jitter, as a fraction of the sample's per-dim std
+    #: (matches the serving benches' query model: corpus rows + 0.1σ noise)
+    recall_jitter: float = 0.1
+    #: tuner search ceiling — refuse to chase an unreachable target past
+    #: this many probes (probe cost grows linearly in n_probe)
+    n_probe_max: int = 64
     seed: int = 42
 
 
@@ -241,6 +259,8 @@ class IVFIndex:
         self._cmax = None  # block width of the current layout
         self._n_retrains = 0  # full k-means builds (operator-visible)
         self._n_refreshes = 0  # cheap re-layouts on existing centroids
+        self._tuned_n_probe: Optional[int] = None  # recall_target tuner pick
+        self._tuned_recall: Optional[float] = None  # its measured recall@k
         self._last_rebuild_s = 0.0
         # --- background maintenance (IVFConfig.background_maintenance):
         # the engine lock serializes writes, layout swaps and the query
@@ -320,7 +340,175 @@ class IVFIndex:
             self._cent_dev = self._put_cent_dev(cents)
             self._layout_from_assign(assign, len(cents), cmax=cmax)
             self._n_retrains += 1
+            if c.recall_target is not None:
+                self.tune_n_probe()
             self._last_rebuild_s = time.perf_counter() - t0
+
+    def tune_n_probe(self, k: int = 10) -> Optional[int]:
+        """Pick the smallest ``n_probe`` whose measured recall@``k`` on a
+        held-out jittered sample meets ``config.recall_target``, and install
+        it as the engine's serving value (VERDICT r3 next #5).
+
+        Two passes. First a host-side estimate: the probe-inclusion recall
+        curve — the fraction of each sample query's true top-k rows whose
+        assigned cluster falls inside the query's first-P probes — computed
+        from one [S, K] centroid-score matrix, simulating the same windowed
+        top-2-per-128-lane selection the device kernel uses
+        (ops/ivf_kernels._select_probes), with overflow rows counted found
+        (the serving path merges them exactly). Then a measured check: real
+        engine queries at the estimated pick against the exact-scan oracle,
+        escalating while short of target (covers what the estimate can't —
+        pair-cap drops, candidate-reduce approximation, bf16 noise).
+
+        Returns the chosen value, or None when the corpus is too small to
+        tune meaningfully (the configured n_probe stands)."""
+        with self._lock:
+            target = self.config.recall_target
+            if target is None or not self._built:
+                return None
+            rows = np.flatnonzero(self.store._np_valid)
+            S = min(self.config.recall_sample, len(rows))
+            if len(rows) < 32 * k or S < 32:
+                return None
+            rng = np.random.default_rng(self.config.seed + 7)
+            sample = rng.choice(rows, size=S, replace=False)
+            base = self.store._np_vectors[sample]
+            q = (
+                base
+                + self.config.recall_jitter
+                * base.std(axis=0, keepdims=True)
+                * rng.standard_normal(base.shape)
+            ).astype(np.float32)
+            _, truth = ExactIndex(self.store).search_slots(q, k)
+            truth = np.asarray(truth)
+            p_max = min(self.config.n_probe_max, self.n_clusters)
+            est = self._probe_inclusion_recall(q, truth, p_max)
+            # smallest P whose estimated inclusion meets target (inclusion
+            # upper-bounds engine recall, so start here and verify up)
+            picks = np.flatnonzero(est >= target)
+            p = int(picks[0]) + 1 if len(picks) else p_max
+            while True:
+                self.config.n_probe = p
+                _, got = self.search_slots(q, k)
+                hit = np.mean([
+                    len(set(got[b].tolist()) & set(truth[b].tolist())) / k
+                    for b in range(S)
+                ])
+                if hit >= target or p >= p_max:
+                    # an unreachable target keeps the ceiling (the best
+                    # recall available); _tuned_recall records the shortfall
+                    break
+                p = min(p_max, max(p + 1, int(np.ceil(p * 1.5))))
+            self.config.n_probe = p
+            self._tuned_n_probe = p
+            self._tuned_recall = float(hit)
+            return p
+
+    def _probe_inclusion_recall(
+        self, q: np.ndarray, truth: np.ndarray, p_max: int
+    ) -> np.ndarray:
+        """est[P-1] = mean fraction of true top-k rows reachable with P
+        probes, for P in 1..p_max — pure host math, no compiles."""
+        c = self.config
+        cents = self._centroids
+        K = len(cents)
+        scores = (
+            2.0 * (q.astype(np.float32) @ cents.T)
+            - np.sum(cents.astype(np.float64) ** 2, axis=1,
+                     dtype=np.float64).astype(np.float32)[None, :]
+        )
+        if self._cluster_live is not None:
+            scores = np.where(self._cluster_live[None, :], scores, -np.inf)
+        S = len(q)
+        nwin = (K + 127) // 128
+        use_windowed = (
+            c.probe_sel_approx is not None and K >= 256
+        )
+        if use_windowed:
+            KP = nwin * 128
+            sw = np.full((S, KP), -np.inf, np.float32)
+            sw[:, :K] = scores
+            sw = sw.reshape(S, nwin, 128)
+            # top-2 per 128-id window, then rank window winners by score —
+            # exactly the device kernel's candidate pool
+            top2 = np.argpartition(-sw, 1, axis=2)[:, :, :2]
+            wins_s = np.take_along_axis(sw, top2, axis=2).reshape(S, -1)
+            wins_i = (
+                np.arange(nwin)[None, :, None] * 128 + top2
+            ).reshape(S, -1)
+            order = np.argsort(-wins_s, axis=1, kind="stable")
+            ranked_w = np.take_along_axis(wins_i, order, axis=1)
+        order_e = np.argsort(-scores, axis=1, kind="stable")
+        # cluster of each true top-k row; overflow/unplaced rows (cluster
+        # -1) count as found — the serving path scans them exactly
+        t_clust = np.where(truth >= 0, self._slot_pos[truth, 0], -2)
+        k = truth.shape[1]
+        est = np.empty(p_max, np.float64)
+        found = np.zeros(truth.shape, bool) | (t_clust == -1)
+        found_e = found.copy()
+        for P in range(1, p_max + 1):
+            # windowed branch applies while nwin >= P (the kernel's gate)
+            ranked = (
+                ranked_w if use_windowed and nwin >= P else order_e
+            )
+            newly = ranked[:, P - 1][:, None] == t_clust
+            if use_windowed and nwin >= P:
+                found |= newly
+                est[P - 1] = found.mean()
+            else:
+                # fell back to the exact ranking: union over its prefix
+                found_e |= (
+                    order_e[:, :P, None] == t_clust[:, None, :]
+                ).any(axis=1)
+                est[P - 1] = (found_e | (t_clust == -1)).mean()
+        return est
+
+    def warmup(
+        self,
+        *,
+        query_batches=(1, 256, 8192),
+        write_batches=(256, 8192),
+        k: int = 10,
+    ) -> float:
+        """Precompile the pow2 program ladder the serving mix will hit, so
+        the first real query/write batch of each shape doesn't pay a cold
+        XLA compile (30–120 s per novel shape over a remote link — VERDICT
+        r3 next #9: first-batch inserts measured 244/s vs 26k/s steady).
+
+        Query side runs the real serving program on zero queries (each
+        batch size pads to its pow2 program shape). Write side runs the
+        real assignment + block-scatter + keep-bit programs with every
+        scatter row out of bounds (``mode="drop"``), so the layout is
+        untouched. With JAX's persistent compilation cache (enabled in
+        quiver_tpu/__init__), the work amortizes across processes too.
+        Returns wall seconds spent."""
+        t0 = time.perf_counter()
+        with self._lock:
+            if not self._built:
+                return 0.0
+            d = self.store.dim
+            K = self._blocks_t.shape[0]
+            outs = []
+            for b in query_batches:
+                m = _pow2(max(int(b), 8))
+                outs.append(
+                    self.search_slots_device(jnp.zeros((m, d)), k)
+                )
+            for b in write_batches:
+                m = _pow2(max(int(b), 8))
+                self._assign_slots(np.zeros(m, np.int64))
+                # all-dropped scatter: compiles + executes the real write
+                # program, changes nothing
+                self._scatter_block_rows(
+                    np.full(m, K, np.int32), np.zeros(m, np.int32),
+                    np.full(m, -1, np.int64),
+                )
+                self._keep_pending.extend(
+                    (K, i, False) for i in range(m)  # row K: dropped
+                )
+                outs.append(self._keep_dev())
+            jax.block_until_ready(outs)
+        return time.perf_counter() - t0
 
     def _prepare_clusters(self, cents, assign):
         """Hook: remap (centroids, assignment) into the engine's cluster
@@ -585,6 +773,7 @@ class IVFIndex:
         "_block_slot", "_block_ns", "_block_inv", "_block_keep",
         "_keep_pending", "_fill", "_built_resid", "_slot_pos", "_overflow",
         "_built", "_built_size", "_churn", "_cmax",
+        "_tuned_n_probe", "_tuned_recall",
     )
     #: subclass state copied into refresh clones and back at adoption
     #: (sharded adds its cluster-ownership geometry)
@@ -1127,6 +1316,11 @@ class IVFIndex:
                 "retrains": self._n_retrains,
                 "refreshes": self._n_refreshes,
                 "last_retrain_s": round(self._last_rebuild_s, 3),
+                "tuned_n_probe": self._tuned_n_probe,
+                "tuned_recall": (
+                    None if self._tuned_recall is None
+                    else round(self._tuned_recall, 4)
+                ),
                 "maintenance": {
                     "inflight": inflight,
                     "pending": self._maint_pending,

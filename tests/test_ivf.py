@@ -553,3 +553,61 @@ def test_ivf_background_maintenance_absorbs_racing_writes():
     keep = np.asarray(eng._keep_dev())
     flat = bs[(bs >= 0) & keep]
     assert len(flat) == len(np.unique(flat))
+
+
+def test_ivf_tune_n_probe_meets_target():
+    """recall_target auto-tunes n_probe at build: the pick's measured
+    recall on jittered held-out queries meets the target, and the pick is
+    parsimonious (a clearly-larger probe count is not chosen when a small
+    one meets target on easy clustered data)."""
+    store, vecs, eng = make(
+        n=5000, n_probe=1, recall_target=0.95, n_probe_max=32,
+    )
+    m = eng.get_detailed_metrics()
+    assert m["tuned_n_probe"] is not None
+    assert eng.config.n_probe == m["tuned_n_probe"]
+    assert m["tuned_recall"] >= 0.95
+    # independent check: fresh jittered queries meet target too
+    rng = np.random.default_rng(99)
+    q = (vecs[100:164] + 0.1 * vecs.std(axis=0, keepdims=True)
+         * rng.standard_normal((64, D))).astype(np.float32)
+    assert recall_vs_oracle(store, eng, q) >= 0.93
+    # monotone sanity: the tuner's estimate curve is nondecreasing
+    from quiver_tpu.index.exact import ExactIndex as _EI
+    _, truth = _EI(store).search_slots(q, 10)
+    est = eng._probe_inclusion_recall(q, np.asarray(truth), 16)
+    assert (np.diff(est) >= -1e-12).all()
+    assert est[-1] >= est[0]
+
+
+def test_ivf_tune_n_probe_unreachable_target_hits_ceiling():
+    store, vecs, eng = make(
+        n=2000, n_probe=1, recall_target=1.01, n_probe_max=4,
+    )
+    assert eng.config.n_probe == min(4, eng.n_clusters)
+    assert eng._tuned_recall is not None  # shortfall recorded
+
+
+def test_ivf_warmup_is_stateless_and_covers_shapes():
+    """warmup() precompiles the serving/write ladder without touching the
+    layout: block arrays and maps identical before/after, and a real query
+    still returns correct results."""
+    store, vecs, eng = make(n=3000)
+    before = (
+        np.asarray(eng._block_slot).copy(),
+        np.asarray(eng._keep_dev()).copy(),
+        eng._fill.copy(),
+        eng._slot_pos.copy(),
+    )
+    secs = eng.warmup(query_batches=(1, 64), write_batches=(64,))
+    assert secs >= 0.0
+    after = (
+        np.asarray(eng._block_slot),
+        np.asarray(eng._keep_dev()),
+        eng._fill,
+        eng._slot_pos,
+    )
+    for b, a in zip(before, after):
+        np.testing.assert_array_equal(b, a)
+    d, i = eng.search_slots(vecs[:4], k=1)
+    assert (np.asarray(i)[:, 0] == np.arange(4)).all()
