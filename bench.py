@@ -38,9 +38,13 @@ N_CENTERS = 1000
 # 10.3x at 16384 and 12.3x at 131072 (swept 2026-08-18, two runs each
 # within 0.3%); recall is B-independent (measured on the oracle sample)
 B = int(os.environ.get("QUIVER_BENCH_B", 65536))
-# n_probe=3 on the permuted-id layout: recall 0.980 (>= the 0.95 gate
-# with margin) at ~19% more QPS than n_probe=4 — swept 2026-08-17
-N_PROBE = int(os.environ.get("QUIVER_BENCH_NPROBE", 3))
+# n_probe: auto-tuned by the engine to RECALL_TARGET (IVFConfig.
+# recall_target — smallest probe count whose measured recall@10 on a
+# held-out jittered sample meets target), so the headline knob is engine
+# behavior that transfers to any corpus, not a hand-swept constant
+# (VERDICT r3 next #5). Env override pins it for sweeps.
+N_PROBE = int(os.environ.get("QUIVER_BENCH_NPROBE", 0))  # 0 = auto-tune
+RECALL_TARGET = float(os.environ.get("QUIVER_BENCH_RECALL_TARGET", 0.96))
 B_ORACLE = 2048
 PIPELINE_DEPTH = int(os.environ.get("QUIVER_BENCH_DEPTH", 32))
 ROUNDS = 3
@@ -73,14 +77,17 @@ def main() -> None:
     store = VectorStore(dim=D, metric="euclidean", capacity=N)
     store.add_batch([f"v{i}" for i in range(N)], vecs)
     eng = IVFIndex(store, config=IVFConfig(
-        n_clusters=1024, n_probe=N_PROBE, q_cap_factor=2, kmeans_iters=8,
-        build_threshold=1024, rescore=False))
+        n_clusters=1024, n_probe=N_PROBE or 3, q_cap_factor=2,
+        kmeans_iters=8, build_threshold=1024, rescore=False,
+        recall_target=None if N_PROBE else RECALL_TARGET))
     if os.path.exists(BUILD_CACHE):
         z = np.load(BUILD_CACHE)
         eng.import_topology(
             {"kind": np.bytes_(b"ivf"), "centroids": z["centroids"],
              "assign": z["assign"], "cmax": np.int64(z["cmax"])},
             np.arange(store.capacity))
+        if not N_PROBE:
+            eng.tune_n_probe()  # cached-build path skips build()'s tuner
     else:
         t0 = time.perf_counter()
         eng.build()
@@ -91,6 +98,9 @@ def main() -> None:
         assign[live] = eng._slot_pos[live, 0]
         np.savez(BUILD_CACHE, centroids=eng._centroids, assign=assign,
                  cmax=eng._block_slot.shape[1])
+    if not N_PROBE:
+        print(f"# tuned n_probe={eng.config.n_probe} "
+              f"(sample recall {eng._tuned_recall})", flush=True)
 
     # recall: tie-aware vs exact f64 oracle on the query sample
     if os.path.exists(TRUTH_CACHE):
@@ -101,17 +111,13 @@ def main() -> None:
     _, i_got = eng.search_slots(queries, K)
     recall = recall_with_ties(np.asarray(i_got), queries, vecs, d10, K)
 
-    # throughput: pipelined device-path batches, fetch-last. reps rounds
-    # UP so qb really holds B rows (floor division under-filled the batch
-    # for non-multiple B and inflated QPS = B / per_batch)
-    reps = -(-B // B_ORACLE)
-    qb = np.concatenate([
-        queries if r == 0 else
-        (queries + 0.01 * np.random.default_rng(100 + r).normal(
-            size=queries.shape)).astype(np.float32)
-        for r in range(reps)
-    ])[:B]
-    assert len(qb) == B
+    # throughput: pipelined device-path batches, fetch-last. The batch is
+    # B UNIQUE queries (random corpus rows + the oracle sample's 0.1-sigma
+    # jitter model) — not the oracle sample tiled (VERDICT r3 weak #6)
+    rngq = np.random.default_rng(2)
+    qb = (vecs[rngq.integers(0, N, B)]
+          + 0.1 * rngq.normal(size=(B, D))).astype(np.float32)
+    qb[:B_ORACLE] = queries  # oracle sample rides along: recall spot-check
     qj = jnp.asarray(qb)
 
     def timed_round():
@@ -124,7 +130,11 @@ def main() -> None:
         return (time.perf_counter() - t0) / PIPELINE_DEPTH
 
     timed_round()  # warm
-    per_batch = min(timed_round() for _ in range(ROUNDS))
+    walls = sorted(timed_round() for _ in range(ROUNDS))
+    per_batch = walls[0]
+    # run-to-run spread across the timed rounds, so the single headline
+    # figure carries an error bar (ADVICE r3 #3)
+    spread_pct = 100.0 * (walls[-1] - walls[0]) / walls[0]
     qps = B / per_batch
 
     # device-side QPS: L query dispatches chained inside ONE jitted scan
@@ -174,13 +184,31 @@ def main() -> None:
         if dev_per_batch > 0:
             break
 
+    # provenance: the artifact self-identifies (ADVICE r3 #2)
+    try:
+        import subprocess
+
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or None
+    except Exception:
+        commit = None
+
     result = {
         "metric": (f"batched QPS/chip, IVF 1M x {D}-d L2, "
                    f"recall@10={recall:.3f} (tie-aware exact oracle)"),
+        "commit": commit,
+        "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "value": round(qps, 1),
         "unit": "qps",
         "vs_baseline": round(qps / REFERENCE_BATCHED_QPS_PER_CORE, 3),
         "pipeline_depth": PIPELINE_DEPTH,
+        "n_probe": eng.config.n_probe,
+        "batch": B,
+        "batch_latency_ms": round(per_batch * 1e3, 3),
+        "run_spread_pct": round(spread_pct, 2),
     }
     if dev_per_batch > 0:
         dev_qps = B / dev_per_batch
@@ -188,6 +216,7 @@ def main() -> None:
         result["device_vs_baseline"] = round(
             dev_qps / REFERENCE_BATCHED_QPS_PER_CORE, 3
         )
+        result["device_batch_latency_ms"] = round(dev_per_batch * 1e3, 3)
     assert recall >= 0.95, f"recall {recall} below target"
     print(json.dumps(result))
 

@@ -49,7 +49,7 @@ def main():
     store = VectorStore(dim=D, metric="euclidean", capacity=total)
     slots = store.add_batch([f"v{i}" for i in range(N)], corpus[:N])
     eng = IVFIndex(store, config=IVFConfig(
-        n_clusters=1024, n_probe=N_PROBE, q_cap_factor=2, kmeans_iters=8,
+        n_clusters=1024, n_probe=N_PROBE or 3, q_cap_factor=2, kmeans_iters=8,
         build_threshold=1024, rescore=False))  # default churn policy
     if N == 1_000_000 and os.path.exists(BUILD_CACHE):
         z = np.load(BUILD_CACHE)

@@ -21,7 +21,13 @@ MODULES = [
     "benches.bench_filtered",
     "benches.bench_persistence",
     "benches.bench_streaming",
+    "benches.bench_churn",
+    "benches.bench_latency",
+    "benches.bench_api",
+    "benches.bench_10m",
 ]
+# benches.bench_skew runs separately: it forces the 8-virtual-CPU mesh
+# via env vars that must be set before jax initializes.
 
 if __name__ == "__main__":
     rc = subprocess.run(

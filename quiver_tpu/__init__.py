@@ -40,7 +40,12 @@ if _os.environ.get("QUIVER_XLA_CACHE", "1") != "0":
     _plats = str(
         _jax.config.jax_platforms or _os.environ.get("JAX_PLATFORMS", "")
     )
-    if "cpu" not in _plats:
+    # primary platform only: under the axon plugin the list reads
+    # "axon,cpu" — a substring test silently disabled the cache on the
+    # REAL TPU environment (the one place it matters; the 30-120 s
+    # cold-process compile cliff in round 3's streaming bench was this)
+    _primary = _plats.split(",")[0].strip()
+    if _primary != "cpu":
         _cache_dir = _os.environ.get(
             "QUIVER_XLA_CACHE_DIR",
             _os.path.expanduser("~/.cache/quiver_tpu_xla"),

@@ -18,6 +18,7 @@ and fused-mask kernels:
 
 from __future__ import annotations
 
+import copy
 import threading
 import time
 from dataclasses import dataclass
@@ -432,7 +433,9 @@ class Collection:
             if req.options.include_vectors:
                 item.vector = self.store.vector_of_slot(s).copy()
             if req.options.include_metadata:
-                item.metadata = md
+                # result items are caller-owned: never hand out the store's
+                # live dict (same aliasing contract as VectorStore.get)
+                item.metadata = copy.deepcopy(md) if md is not None else None
             items.append(item)
         return items
 

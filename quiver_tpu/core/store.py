@@ -15,6 +15,7 @@ arrays with one scatter per sync; capacity growth doubles and re-uploads.
 
 from __future__ import annotations
 
+import copy
 import threading
 from dataclasses import dataclass
 from typing import Iterable, Optional, Sequence
@@ -124,10 +125,11 @@ class VectorStore:
             slot = self._id_to_slot.get(vec_id)
             if slot is None:
                 raise KeyError(f"vector not found: {vec_id}")
+            md = self._metadata[slot]
             return VectorRecord(
                 id=vec_id,
                 values=self._np_vectors[slot].copy(),
-                metadata=self._metadata[slot],
+                metadata=copy.deepcopy(md) if md is not None else None,
             )
 
     def ids(self) -> list[str]:
@@ -192,7 +194,11 @@ class VectorStore:
             self._np_valid[slots] = True
             for s, vid, md in zip(slots, ids, metadata):
                 self._ids[s] = vid
-                self._metadata[s] = md
+                # deep copy: stored metadata must not alias the caller's
+                # dict in either direction (the reference serializes
+                # metadata to JSON, which copies both ways — pkg/
+                # persistence/collection_test.go:613-682's contract)
+                self._metadata[s] = copy.deepcopy(md) if md is not None else None
                 self._id_to_slot[vid] = int(s)
             self._count += len(ids)
             self._pending_slots.extend(int(s) for s in slots)
@@ -227,7 +233,7 @@ class VectorStore:
                 self._log_changes(slots)
             if metadata is not None:
                 for s, md in zip(slots, metadata):
-                    self._metadata[s] = md
+                    self._metadata[s] = copy.deepcopy(md) if md is not None else None
 
     def delete(self, vec_id: str) -> bool:
         return self.delete_batch([vec_id]) == 1

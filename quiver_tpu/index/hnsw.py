@@ -600,7 +600,12 @@ class HNSWIndex:
             while B_l < n_l:
                 B_l *= 2
             b_ls.append(B_l)
-            u_budgets.append(_pow2(max(B_l // 2, 64)))
+            # chunk ROW budget for the full-coverage reverse-edge commit:
+            # one chunk holds a batch's worth of rows; connect_level scans
+            # ceil(B_l*deg/u) chunks so every distinct overflow row is
+            # processed (fresh-node in-degree — the round-3 streaming
+            # recall collapse), skipping empty chunks at runtime
+            u_budgets.append(_pow2(max(B_l, 64)))
         cap = self.store.capacity
         tile = cap if cap <= 32768 else 32768
         q_pad = np.zeros((B, d), np.float32)
@@ -617,7 +622,11 @@ class HNSWIndex:
             compute_dtype=self.compute_dtype,
             b_ls=tuple(b_ls),
             u_budgets=tuple(u_budgets),
-            e_budget=_pow2(2 * c.m0, lo=32),
+            # appended sources per overflow row per batch: the re-selection
+            # block is [u, deg+e_budget]^2 per chunk, so e_budget bounds
+            # the dominant cost; a row with >16 announcements in ONE batch
+            # keeps its 16 highest-priority ones (rest spill-counted)
+            e_budget=16,
             c_lvls=tuple(range(batch_max, -1, -1)),
             tile=tile,
             approx=c.build_approx,
@@ -745,7 +754,24 @@ class HNSWIndex:
                 0 if self._spill_dev is None else int(self._spill_dev)
             ),
             "compactions": self._n_compactions,
+            "device_bytes": self.device_bytes(),
             "config": self.get_optimization_parameters(),
+        }
+
+    def device_bytes(self) -> dict:
+        """HBM footprint: adjacency layers + spill counter (engine-own,
+        store excluded) and the store's synced view (VERDICT r3 next #3)."""
+        from quiver_tpu.core.store import VectorStore
+        from quiver_tpu.utils.memory import device_bytes, store_device_bytes
+
+        own = device_bytes(self, skip=(VectorStore,))
+        st = store_device_bytes(self.store)
+        n = max(self.size, 1)
+        return {
+            "engine": own,
+            "store": st,
+            "total": own + st,
+            "per_vector": round((own + st) / n, 1),
         }
 
     # ---------------------------------------------------------- persistence

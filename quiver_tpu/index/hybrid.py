@@ -470,7 +470,31 @@ class HybridIndex:
             self.ann.set_optimization_parameters(**mine)
 
     def get_detailed_metrics(self) -> dict:
-        return {self.ann_label: self.ann.get_detailed_metrics(), **self.stats()}
+        return {
+            self.ann_label: self.ann.get_detailed_metrics(),
+            "device_bytes": self.device_bytes(),
+            **self.stats(),
+        }
+
+    def device_bytes(self) -> dict:
+        """HBM footprint across the orchestrated engines: each engine's own
+        buffers summed, the shared store's view counted ONCE (VERDICT r3
+        next #3)."""
+        from quiver_tpu.core.store import VectorStore
+        from quiver_tpu.utils.memory import device_bytes, store_device_bytes
+
+        own = sum(
+            device_bytes(e, skip=(VectorStore,))
+            for e in (self.exact, self.ann)
+        )
+        st = store_device_bytes(self.store)
+        n = max(self.store.size, 1)
+        return {
+            "engine": own,
+            "store": st,
+            "total": own + st,
+            "per_vector": round((own + st) / n, 1),
+        }
 
     def export_topology(self):
         if not self._graph_built:

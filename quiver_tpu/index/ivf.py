@@ -360,6 +360,15 @@ class IVFIndex:
         escalating while short of target (covers what the estimate can't —
         pair-cap drops, candidate-reduce approximation, bf16 noise).
 
+        Recall is TIE-AWARE: a returned row counts when its true f64
+        distance is within the oracle's k-th distance (+rel tol). Plain
+        set-intersection recall saturates below ~0.95 on clustered corpora
+        no matter how many probes run — near-ties at the boundary rank
+        reorder under bf16 scoring — so tuning against it chases an
+        unreachable target to the probe ceiling (measured: escalated to
+        n_probe=64 at plain 0.939 on a corpus whose tie-aware recall was
+        0.98 at n_probe=3, then OOMed the 65k-query serving batch).
+
         Returns the chosen value, or None when the corpus is too small to
         tune meaningfully (the configured n_probe stands)."""
         with self._lock:
@@ -381,6 +390,20 @@ class IVFIndex:
             ).astype(np.float32)
             _, truth = ExactIndex(self.store).search_slots(q, k)
             truth = np.asarray(truth)
+            # tie threshold: true f64 distance of the oracle's k-th row
+            d_true = self._host_dist_f64(q, truth)
+            kth = np.where(
+                (truth >= 0).any(axis=1),
+                np.max(np.where(truth >= 0, d_true, -np.inf), axis=1),
+                np.inf,
+            )
+            thr = kth * (1 + 1e-6) + 1e-12
+
+            def tie_recall(got: np.ndarray) -> float:
+                d = self._host_dist_f64(q, got)
+                ok = (got >= 0) & (d <= thr[:, None])
+                return float(np.minimum(ok.sum(axis=1), k).mean() / k)
+
             p_max = min(self.config.n_probe_max, self.n_clusters)
             est = self._probe_inclusion_recall(q, truth, p_max)
             # smallest P whose estimated inclusion meets target (inclusion
@@ -390,10 +413,7 @@ class IVFIndex:
             while True:
                 self.config.n_probe = p
                 _, got = self.search_slots(q, k)
-                hit = np.mean([
-                    len(set(got[b].tolist()) & set(truth[b].tolist())) / k
-                    for b in range(S)
-                ])
+                hit = tie_recall(np.asarray(got))
                 if hit >= target or p >= p_max:
                     # an unreachable target keeps the ceiling (the best
                     # recall available); _tuned_recall records the shortfall
@@ -403,6 +423,40 @@ class IVFIndex:
             self._tuned_n_probe = p
             self._tuned_recall = float(hit)
             return p
+
+    def _host_dist_f64(self, q: np.ndarray, slots: np.ndarray) -> np.ndarray:
+        """True f64 distances d(q[b], store[slots[b, j]]) -> f64[S, k],
+        host-side, matching ops/distance semantics (guards included);
+        slots < 0 get +inf. The tuner's tie arbiter."""
+        from quiver_tpu.types import DistanceType
+
+        metric = self.store.metric
+        v = self.store._np_vectors[np.maximum(slots, 0)].astype(np.float64)
+        qq = q.astype(np.float64)[:, None, :]
+        if metric == DistanceType.MANHATTAN:
+            d = np.abs(qq - v).sum(axis=2)
+        else:
+            dots = (qq * v).sum(axis=2)
+            if metric == DistanceType.DOT_PRODUCT:
+                d = 1.0 - dots
+            elif metric == DistanceType.COSINE:
+                qn = np.sqrt((qq * qq).sum(axis=2))
+                vn = np.sqrt((v * v).sum(axis=2))
+                nz = (qn > 0) & (vn > 0)
+                sim = np.where(
+                    nz, dots / np.maximum(qn * vn, 1e-30), 0.0
+                )
+                d = 1.0 - np.clip(sim, -1.0, 1.0)
+            else:
+                d2 = np.maximum(
+                    (qq * qq).sum(axis=2) + (v * v).sum(axis=2) - 2.0 * dots,
+                    0.0,
+                )
+                d = (
+                    d2 if metric == DistanceType.SQUARED_EUCLIDEAN
+                    else np.sqrt(d2)
+                )
+        return np.where(slots >= 0, d, np.inf)
 
     def _probe_inclusion_recall(
         self, q: np.ndarray, truth: np.ndarray, p_max: int
@@ -1137,9 +1191,12 @@ class IVFIndex:
             return "fused", not on_tpu
         # auto: the ragged pairs path wins on TPU (benches/lab_pairs2.py:
         # 10.7 ms vs einsum's 27.6 ms at the 1M serving shape, recall
-        # 0.9805 vs 0.977 — no q_cap drops) and is drop-free everywhere;
-        # the fused Pallas kernel remains opt-in (~1.7x slower per
-        # dispatch from per-grid-cell overhead, bench_ivf_mega.py)
+        # 0.9805 vs 0.977 — no q_cap drops) and is drop-free at every
+        # shape. The fused Pallas kernel stays opt-in: it wins 5-25% at
+        # mid-batch shapes (B=2048-8192, benches/exp_fused_ab.py
+        # 2026-08-19) but loses 1.4-1.6x at the 65k headline batch and
+        # hits an SMEM bound past B*n_probe ~200k — pin
+        # formulation="fused" for fixed mid-size serving batches.
         return "pairs", False
 
     def search_slots(
@@ -1328,8 +1385,27 @@ class IVFIndex:
                     "last_swap_stall_s": round(self._maint_last_stall_s, 4),
                     "error": self._maint_error,
                 },
+                "device_bytes": self.device_bytes(),
                 "config": self.get_optimization_parameters(),
             }
+
+    def device_bytes(self) -> dict:
+        """HBM footprint: the engine's own buffers (blocks/centroids/
+        masks, excluding the shared store) and the store's synced view —
+        bytes/vector per engine is the bench matrix's memory axis
+        (VERDICT r3 next #3)."""
+        from quiver_tpu.core.store import VectorStore
+        from quiver_tpu.utils.memory import device_bytes, store_device_bytes
+
+        own = device_bytes(self, skip=(VectorStore,))
+        st = store_device_bytes(self.store)
+        n = max(self.size, 1)
+        return {
+            "engine": own,
+            "store": st,
+            "total": own + st,
+            "per_vector": round((own + st) / n, 1),
+        }
 
     # ---------------------------------------------------------- persistence
 

@@ -361,11 +361,19 @@ def connect_level(
 
     Reverse edges group by target row with the static sort/rank pattern:
     fitting edges append into known-free cells; rows that would overflow
-    re-run the diversity selection over (current row + appended sources),
-    processed in ``u_budget`` row slots with up to ``e_budget`` appended
-    sources each. Returns (adj', fill', spilled) where ``spilled`` counts
-    overflow rows/edges beyond the budgets (dropped back-edges — bounded
-    recall cost, surfaced to the host as one scalar)."""
+    re-run the diversity selection over (current row + appended sources).
+    Overflow rows are processed in ``lax.scan`` chunks of ``u_budget``
+    rows, with the static chunk count sized so EVERY distinct overflow row
+    is covered (ceil(B*deg / u_budget) >= the worst case): with
+    keep_pruned back-fill every mature row is always full, so in a grown
+    graph every reverse edge lands here — a single budget-capped pass
+    dropped most back-edges to fresh nodes, starving their in-degree and
+    collapsing streaming recall (round-3 measured 0.67 live recall at 1M).
+    Only per-row appended sources beyond ``e_budget`` are dropped (a row
+    that popular already has e_budget closer announcements competing).
+    Returns (adj', fill', spilled) where ``spilled`` counts those dropped
+    back-edges — bounded recall cost, surfaced to the host as one
+    scalar."""
     metric = DistanceType.parse(metric)
     rows_cap, deg = adj.shape
     B = slots.shape[0]
@@ -417,40 +425,69 @@ def connect_level(
         jnp.concatenate([jnp.ones((1,), bool), ~over[:-1] | is_start[1:]])
     )
     # rows are contiguous after the sort, so a running count of first_over
-    # numbers the overflow rows globally
+    # numbers the overflow rows globally; chunk c processes rows
+    # [c*u_budget, (c+1)*u_budget). n_chunks covers the worst case (every
+    # edge a distinct full row), so no overflow ROW is ever dropped.
+    n_chunks = max(1, -(-(B * deg) // u_budget))
+    U = n_chunks * u_budget
     ouidx = jnp.cumsum(first_over.astype(jnp.int32)) - 1
-    keep_e = over & (orank < e_budget) & (ouidx < u_budget)
-    extras = jnp.full((u_budget, e_budget), -1, jnp.int32).at[
-        jnp.where(keep_e, ouidx, u_budget), jnp.where(keep_e, orank, 0)
+    keep_e = over & (orank < e_budget)
+    extras = jnp.full((U, e_budget), -1, jnp.int32).at[
+        jnp.where(keep_e, ouidx, U), jnp.where(keep_e, orank, 0)
     ].set(ssrc, mode="drop")
-    keep_r = first_over & (ouidx < u_budget)
-    orows = jnp.full((u_budget,), rows_cap, jnp.int32).at[
-        jnp.where(keep_r, ouidx, u_budget)
+    orows = jnp.full((U,), rows_cap, jnp.int32).at[
+        jnp.where(first_over, ouidx, U)
     ].set(srow, mode="drop")
-    otgts = jnp.full((u_budget,), -1, jnp.int32).at[
-        jnp.where(keep_r, ouidx, u_budget)
+    otgts = jnp.full((U,), -1, jnp.int32).at[
+        jnp.where(first_over, ouidx, U)
     ].set(stgt, mode="drop")
 
-    live_o = orows < rows_cap
-    cur = adj[jnp.minimum(orows, rows_cap - 1)]  # [U, deg]
-    c_ids = jnp.concatenate([cur, extras], axis=1)
-    c_ids = jnp.where(live_o[:, None], c_ids, -1)
-    q_vecs = vectors[jnp.maximum(otgts, 0)].astype(jnp.float32)
-    c_vecs = vectors[jnp.maximum(c_ids, 0)]
-    c_d = _batched_distance(q_vecs, c_vecs, metric, compute_dtype)
-    c_d = jnp.where(c_ids >= 0, c_d, MASKED_DIST)
-    sel_o, _ = select_neighbors(
-        q_vecs, c_ids, c_d, vectors, metric=metric, m=deg,
-        compute_dtype=compute_dtype, keep_pruned=keep_pruned,
-    )
-    adj = adj.at[jnp.where(live_o, orows, rows_cap)].set(sel_o, mode="drop")
-    fill = fill.at[jnp.where(live_o, orows, rows_cap)].set(
-        jnp.sum(sel_o >= 0, axis=1), mode="drop"
+    def chunk(carry, xs):
+        # typical batches fill only the first chunk or two; lax.cond skips
+        # the dead tail's [u, C, C] re-selection at runtime
+        orows_c, _, _ = xs
+        return jax.lax.cond(
+            jnp.any(orows_c < rows_cap), _chunk_body,
+            lambda c, _x: c, carry, xs,
+        ), None
+
+    def _chunk_body(carry, xs):
+        adj_c, fill_c = carry
+        orows_c, otgts_c, extras_c = xs
+        live_o = orows_c < rows_cap
+        cur = adj_c[jnp.minimum(orows_c, rows_cap - 1)]  # [u, deg]
+        # a mutual pair (new A selects new B forward, B announces into A's
+        # row which already holds B) would duplicate B: drop such extras
+        dup = jnp.any(
+            extras_c[:, :, None] == cur[:, None, :], axis=2
+        ) & (extras_c >= 0)
+        extras_c = jnp.where(dup, -1, extras_c)
+        c_ids = jnp.concatenate([cur, extras_c], axis=1)
+        c_ids = jnp.where(live_o[:, None], c_ids, -1)
+        q_vecs = vectors[jnp.maximum(otgts_c, 0)].astype(jnp.float32)
+        c_vecs = vectors[jnp.maximum(c_ids, 0)]
+        c_d = _batched_distance(q_vecs, c_vecs, metric, compute_dtype)
+        c_d = jnp.where(c_ids >= 0, c_d, MASKED_DIST)
+        sel_o, _ = select_neighbors(
+            q_vecs, c_ids, c_d, vectors, metric=metric, m=deg,
+            compute_dtype=compute_dtype, keep_pruned=keep_pruned,
+        )
+        adj_c = adj_c.at[
+            jnp.where(live_o, orows_c, rows_cap)
+        ].set(sel_o, mode="drop")
+        fill_c = fill_c.at[jnp.where(live_o, orows_c, rows_cap)].set(
+            jnp.sum(sel_o >= 0, axis=1), mode="drop"
+        )
+        return (adj_c, fill_c)
+
+    (adj, fill), _ = jax.lax.scan(
+        chunk, (adj, fill),
+        (orows.reshape(n_chunks, u_budget),
+         otgts.reshape(n_chunks, u_budget),
+         extras.reshape(n_chunks, u_budget, e_budget)),
     )
 
-    spilled = jnp.sum(over & ~keep_e) + jnp.maximum(
-        jnp.max(jnp.where(first_over, ouidx, -1), initial=-1) + 1 - u_budget, 0
-    )
+    spilled = jnp.sum(over & ~keep_e)
     return adj, fill, spilled
 
 

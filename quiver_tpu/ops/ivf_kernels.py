@@ -359,6 +359,15 @@ def ivf_query(
     b_of = (order // P).astype(jnp.int32)
 
     if formulation == "fused":
+        if BP > 196_608:
+            # the kernel scalar-prefetches order i32[B*P] into SMEM (1 MiB
+            # on v5e); past this it fails deep in Mosaic with an opaque
+            # "prefetched SMEM operand" allocation error (measured: OK at
+            # B=65536*P=3, fails at P=4). The pairs path has no such bound.
+            raise ValueError(
+                f"fused formulation: B*n_probe={BP} exceeds the SMEM "
+                "scalar-prefetch budget (196608); use formulation='pairs'"
+            )
         best_s, best_flat = _fused_candidates(
             q, c_dots, c_aff, probe,
             blocks_t, block_rns, block_keep, centroids,
