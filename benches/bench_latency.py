@@ -32,34 +32,43 @@ ROUNDS = env_int("QUIVER_BENCH_LAT_ROUNDS", 3)
 HOST_CALLS = env_int("QUIVER_BENCH_LAT_HOST_CALLS", 200)
 
 
-def chained_wall(step_fn, L):
-    """Wall seconds for L chained dispatches inside one jitted scan."""
+def make_chained(step_fn):
+    """Build the jitted L-chained runner. The big arrays arrive as
+    ARGUMENTS, never closure constants — the tunnel's remote-compile
+    endpoint rejects programs with large embedded constants (HTTP 413)."""
     import jax
     import jax.numpy as jnp
 
+    # Unrolled rather than lax.scan: the v5e AOT compiler hits a
+    # post-optimization bitcast bug on the scan-wrapped IVF program at
+    # small B (s32 layout mismatch); the unrolled chain compiles clean
+    # and is the same measurement (L data-dependent dispatches, one
+    # program).
     @partial(jax.jit, static_argnames=("n",))
-    def run(n):
-        def body(c, _):
-            d = step_fn(c)
-            return c + d * 1e-30, None
-
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+    def run(ops, n):
+        c = jnp.float32(0)
+        for _ in range(n):
+            c = c + step_fn(c, ops) * 1e-30
         return c
 
-    t0 = time.perf_counter()
-    _ = np.asarray(run(L))
-    return time.perf_counter() - t0
+    return run
 
 
-def device_latency(make_step, label):
+def device_latency(step_fn, ops):
     """Per-batch device latency via the L-difference, best-of-ROUNDS,
     retrying with more samples when tunnel jitter makes it non-positive."""
-    step = make_step()
-    walls_lo = [chained_wall(step, L_LO)]  # also warms both programs
-    walls_hi = [chained_wall(step, L_HI)]
+    run = make_chained(step_fn)
+
+    def wall(L):
+        t0 = time.perf_counter()
+        _ = np.asarray(run(ops, n=L))
+        return time.perf_counter() - t0
+
+    walls_lo = [wall(L_LO)]  # also warms both programs
+    walls_hi = [wall(L_HI)]
     for extra in range(4):
-        walls_lo += [chained_wall(step, L_LO) for _ in range(ROUNDS)]
-        walls_hi += [chained_wall(step, L_HI) for _ in range(ROUNDS)]
+        walls_lo += [wall(L_LO) for _ in range(ROUNDS)]
+        walls_hi += [wall(L_HI) for _ in range(ROUNDS)]
         per = (min(walls_hi) - min(walls_lo)) / (L_HI - L_LO)
         if per > 0:
             return per
@@ -97,38 +106,49 @@ def main():
     cent_j, c_ns = eng._cent_dev
     keep = eng._keep_dev()
 
+    def ivf_step(c, ops):
+        (qj, cj, cns, bt, bs, bns, bi, bk, sv) = ops
+        d, _ = ivf_query(
+            qj + c, cj, cns, bt, bs, bns, bi, bk, sv,
+            metric="euclidean", k=K, n_probe=eng.config.n_probe,
+            q_cap=8, formulation="pairs",
+            oversample=eng.config.oversample,
+            probe_approx=eng.config.probe_approx,
+            probe_sel_approx=eng.config.probe_sel_approx,
+            seg_width=eng.config.seg_width, rescore=False)
+        return d[0, 0]
+
+    def exact_step(c, ops):
+        (qj, vectors, valid, norms_sq, inv_norms) = ops
+        d, _ = flat_scan_topk(
+            qj + c, vectors, valid, None, norms_sq,
+            inv_norms, metric="euclidean", k=K, tile=8192,
+            compute_dtype=jnp.float32, approx_recall=None)
+        return d[0, 0]
+
     for B in BATCHES:
-        q = (vecs[rng.integers(0, N, B)]
-             + 0.1 * rng.normal(size=(B, D))).astype(np.float32)
+        # The serving engine pads batches to pow2 with floor 8
+        # (ivf.py search_slots); true-B=1 programs also trip a v5e AOT
+        # bitcast bug, so the padded program is BOTH what production
+        # serves and the only thing that compiles. us_per_query divides
+        # by the REQUESTED B — the padded rows are real serving cost.
+        Bp = max(B, 8)
+        q = (vecs[rng.integers(0, N, Bp)]
+             + 0.1 * rng.normal(size=(Bp, D))).astype(np.float32)
         qj = jnp.asarray(q)
+        pad = f", engine-padded to {Bp}" if Bp != B else ""
 
-        def ivf_step(c, qj=qj):
-            d, _ = ivf_query(
-                qj + c, cent_j, c_ns, eng._blocks_t, eng._block_slot,
-                eng._block_ns, eng._block_inv, keep, dev.vectors,
-                metric="euclidean", k=K, n_probe=eng.config.n_probe,
-                q_cap=8, formulation="pairs",
-                oversample=eng.config.oversample,
-                probe_approx=eng.config.probe_approx,
-                probe_sel_approx=eng.config.probe_sel_approx,
-                seg_width=eng.config.seg_width, rescore=False)
-            return d[0, 0]
-
-        per = device_latency(lambda: ivf_step, f"ivf B={B}")
-        emit(f"ivf device latency, B={B} (1M x {D}-d, n_probe=3)",
+        per = device_latency(ivf_step, (
+            qj, cent_j, c_ns, eng._blocks_t, eng._block_slot,
+            eng._block_ns, eng._block_inv, keep, dev.vectors))
+        emit(f"ivf device latency, B={B} (1M x {D}-d, n_probe=3{pad})",
              per * 1e3, "ms/batch",
              us_per_query=round(per * 1e6 / B, 3),
              device_qps=round(B / per, 1))
 
-        def exact_step(c, qj=qj):
-            d, _ = flat_scan_topk(
-                qj + c, dev.vectors, dev.valid, None, dev.norms_sq,
-                dev.inv_norms, metric="euclidean", k=K, tile=8192,
-                compute_dtype=jnp.float32, approx_recall=None)
-            return d[0, 0]
-
-        per = device_latency(lambda: exact_step, f"exact B={B}")
-        emit(f"exact device latency, B={B} (1M x {D}-d, f32)",
+        per = device_latency(exact_step, (
+            qj, dev.vectors, dev.valid, dev.norms_sq, dev.inv_norms))
+        emit(f"exact device latency, B={B} (1M x {D}-d, f32{pad})",
              per * 1e3, "ms/batch",
              us_per_query=round(per * 1e6 / B, 3),
              device_qps=round(B / per, 1))
