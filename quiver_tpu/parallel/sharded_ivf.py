@@ -103,8 +103,11 @@ def sharded_ivf_query(
     has_mask: bool = False,
 ):
     """SPMD pruned search over the cluster-sharded mesh. Returns replicated
-    ``(dist f32[B, k], slot i32[B, k])`` — global store slots, -1 empty,
-    score-derived distances (see module docstring)."""
+    ``(dist f32[B, k], slot i32[B, k], max_load i32[])`` — global store
+    slots, -1 empty, score-derived distances (see module docstring);
+    ``max_load`` is the mesh-max per-shard local pair count, for the
+    engine's skew auto-raise (``max_load > m_pairs`` means pairs dropped
+    on the hottest shard this batch)."""
     metric_p = DistanceType.parse(metric)
     Kg = centroids.shape[0]
     n = mesh.shape[DATA_AXIS]
@@ -125,7 +128,7 @@ def sharded_ivf_query(
             P(DATA_AXIS, None, None), P(DATA_AXIS, None), P(DATA_AXIS, None),
             P(DATA_AXIS, None), P(DATA_AXIS, None), P(),
         ),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
         # outputs are replicated by construction (identical post-all_gather
         # reduction on every chip); VMA inference can't see that
         check_vma=False,
@@ -144,9 +147,14 @@ def sharded_ivf_query(
         # probes concentrate on one shard past M, the LOWEST-VALUE pairs
         # drop: selection prefers low probe rank (a query's rank-0 probe
         # carries most of its recall), then survivors re-sort by cluster
-        # for the grouped matmul.
+        # for the grouped matmul. The mesh-max local load is returned so
+        # the engine can observe drops and auto-raise the bound
+        # (ShardedIVFIndex._auto_raise_check).
         flat_c = probe.reshape(BP)
         is_local = (flat_c >= lo) & (flat_c < lo + KL)
+        max_load = jax.lax.pmax(
+            jnp.sum(is_local, dtype=jnp.int32), DATA_AXIS
+        )
         rank = jax.lax.broadcasted_iota(jnp.int32, (B, P_), 1).reshape(BP)
         ord1 = jnp.argsort(
             jnp.where(is_local, rank, jnp.int32(P_)), stable=True
@@ -198,7 +206,7 @@ def sharded_ivf_query(
         out_d = -neg_top
         out_i = jnp.take_along_axis(all_i, sel, axis=1)
         out_i = jnp.where(out_d >= MASKED_DIST, -1, out_i)
-        return out_d, out_i
+        return out_d, out_i, max_load
 
     return spmd(
         q, centroids, cent_norms_sq, cluster_live,
@@ -248,6 +256,10 @@ class ShardedIVFIndex(IVFIndex):
         # exact fallbacks + under-fill + unbuilt path share the mesh
         self._exact = ShardedExactIndex(store, self.mesh)
         self._k_local = None  # padded per-shard cluster range KL
+        # skew auto-raise state: (device max_load, M, mean) of the last
+        # dispatched batch, checked lazily before the next one
+        self._pending_load = None
+        self._overflow_raises = 0
 
     #: background-maintenance clones also need the cluster-ownership
     #: geometry (refresh keeps the id space; index/ivf.py _make_staging)
@@ -331,10 +343,32 @@ class ShardedIVFIndex(IVFIndex):
             B * P_, _pow2(max(64, int(np.ceil(self.local_pair_factor * mean))))
         )
 
+    def _auto_raise_check(self):
+        """Observe the previous batch's mesh-max pair load (fetched lazily,
+        so the scalar read never syncs a batch that is still in flight) and
+        raise ``local_pair_factor`` when the hottest shard overflowed its
+        static bound: new factor covers the observed load with 1.5x
+        headroom, capped at ``n_shards`` (at which M >= B*P — no drop is
+        possible). The overflowed batch itself served degraded (lowest-rank
+        pairs dropped); every later batch compiles at the raised bound.
+        Recorded skew sweep: benches/bench_skew.py + docs/BENCH_RESULTS.md."""
+        if self._pending_load is None:
+            return
+        load_dev, m_bound, mean = self._pending_load
+        self._pending_load = None
+        load = int(np.asarray(load_dev))
+        if load <= m_bound or self.local_pair_factor >= self.n_shards:
+            return
+        self.local_pair_factor = float(
+            min(max(1.5 * load / mean, self.local_pair_factor), self.n_shards)
+        )
+        self._overflow_raises += 1
+
     def search_slots_device(self, queries, k: int, *, mask=None):
         with self._lock:  # consistent layout vs concurrent maintenance swap
             if not self._built:
                 raise RuntimeError("IVF index is not built")
+            self._auto_raise_check()
             block_keep = self._keep_dev()
             cent_j, c_ns = self._cent_dev
             Kg = cent_j.shape[0]
@@ -346,12 +380,13 @@ class ShardedIVFIndex(IVFIndex):
                 if has_mask
                 else jnp.zeros((8,), bool)  # dummy, replicated
             )
-            return sharded_ivf_query(
+            m_pairs = self._m_pairs(queries.shape[0], P_)
+            dist, slot, load = sharded_ivf_query(
                 queries, cent_j, c_ns, jnp.asarray(self._cluster_live),
                 self._blocks_t, self._block_slot, self._block_ns,
                 self._block_inv, block_keep, smask,
                 mesh=self.mesh, metric=self._metric(), k=k, n_probe=P_,
-                m_pairs=self._m_pairs(queries.shape[0], P_),
+                m_pairs=m_pairs,
                 compute_dtype=self.compute_dtype,
                 oversample=self.config.oversample,
                 probe_approx=self.config.probe_approx,
@@ -359,6 +394,10 @@ class ShardedIVFIndex(IVFIndex):
                 seg_width=self.config.seg_width,
                 has_mask=has_mask,
             )
+            self._pending_load = (
+                load, m_pairs, queries.shape[0] * P_ / max(self.n_shards, 1)
+            )
+            return dist, slot
 
     def _gather_source(self):
         """Write-path row source: the sharded exact engine's row-sharded
@@ -382,6 +421,15 @@ class ShardedIVFIndex(IVFIndex):
         from quiver_tpu.utils.transfer import fetch_np
 
         return fetch_np(d2, i2)
+
+    def get_detailed_metrics(self) -> dict:
+        m = super().get_detailed_metrics()
+        m["sharded"] = {
+            "n_shards": self.n_shards,
+            "local_pair_factor": round(self.local_pair_factor, 3),
+            "overflow_raises": self._overflow_raises,
+        }
+        return m
 
     # --------------------------------------------------------- persistence
 

@@ -240,6 +240,31 @@ def test_make_engine_sharded_hybrid_passes_ivf_knobs(mesh):
         make_engine("sharded_hybrid", store, mesh=mesh, bogus_knob=1)
 
 
+def test_sharded_skew_auto_raise(mesh):
+    """Adversarial probe skew (every query targets clusters one shard owns)
+    overflows a too-tight local pair bound; the engine observes the
+    mesh-max load on the next dispatch and raises local_pair_factor so
+    recall recovers (VERDICT r3 next #7; recorded sweep in
+    benches/bench_skew.py: factor=1.0 -> 0.565 recall under skew)."""
+    store, vecs, eng = make(mesh, n=5000, n_probe=8)
+    eng.local_pair_factor = 1.0
+    kl = eng._k_local
+    own0 = np.flatnonzero(
+        (eng._slot_pos[:, 0] >= 0) & (eng._slot_pos[:, 0] < kl)
+    )
+    assert len(own0) > 64, "shard 0 owns too few rows for the skew test"
+    rng = np.random.default_rng(17)
+    q = (vecs[rng.choice(own0, size=256)]
+         + 0.05 * rng.normal(size=(256, D))).astype(np.float32)
+    r1 = recall_vs_oracle(store, eng, q)  # degraded batch; load stashed
+    r2 = recall_vs_oracle(store, eng, q)  # check ran -> bound raised
+    assert eng._overflow_raises >= 1
+    assert eng.local_pair_factor > 1.0
+    assert eng.get_detailed_metrics()["sharded"]["overflow_raises"] >= 1
+    assert r2 >= r1 - 1e-9
+    assert r2 >= 0.9, (r1, r2, eng.local_pair_factor)
+
+
 def test_fuzz_sharded_ivf_random_ops(mesh):
     """The cluster-sharded engine under the same random op churn as the
     single-chip engines (tests/test_fuzz_engines.py) — live-recall vs the
