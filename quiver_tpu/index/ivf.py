@@ -72,14 +72,17 @@ def _mask_block_keep(block_keep, block_slot, slot_mask):
 
 @jax.jit
 def _nearest_centroid_slots(slots, vectors, cent, c_ns, live):
-    """Nearest live centroid for STORE rows addressed by slot — the gather
-    reads the store's device copy, so the write path never re-uploads
-    vector data it already synced (tunnel uploads run ~5-14 MB/s; an 8k
-    x 128-d batch is ~4 MB, and the former host-array path paid it twice)."""
+    """(argmax, max) of the nearest live-centroid affine score for STORE
+    rows addressed by slot — the gather reads the store's device copy, so
+    the write path and refresh never re-upload vector data they already
+    synced (tunnel uploads run ~5-14 MB/s; an 8k x 128-d batch is ~4 MB,
+    and the former host-array path paid it twice; refresh paid the FULL
+    corpus, 512 MB at 1M x 128-d). The max doubles as the drift-detector
+    residual readout, like _nearest_centroid."""
     v = vectors[slots]
     scores = 2.0 * (v @ cent.T) - c_ns[None, :]
     scores = jnp.where(live[None, :], scores, -jnp.inf)
-    return jnp.argmax(scores, axis=1)
+    return jnp.argmax(scores, axis=1), jnp.max(scores, axis=1)
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
@@ -109,6 +112,50 @@ def _scatter_blocks_dev(
         slots.astype(block_slot.dtype), mode="drop"
     )
     return blocks_t, block_ns, block_inv, block_slot
+
+
+@functools.partial(jax.jit, static_argnames=("kc", "k_real", "cdtype"))
+def _layout_dev(block_slot_pad, vectors, norms_sq, cent_pad, *, kc, k_real,
+                cdtype):
+    """Device-side block layout: gather every placed row from the store's
+    device copy and form the four block arrays WITHOUT materializing them
+    on host. The former host path built blocks_t on host and re-uploaded
+    ~0.7 GB per refresh at 1M x 128-d (50-140 s of tunnel saturation that
+    starved concurrent serving during background maintenance; ~1 s of PCIe
+    even co-located) — now only the [K, cmax] slot map uploads (~70x less).
+    Chunked via lax.map so the f32 gather intermediate stays ~1 GB at any
+    corpus size; pad clusters (block_slot == -1 rows beyond k_real) zero
+    out through the keep mask."""
+    k_pad, cmax = block_slot_pad.shape
+    d = vectors.shape[1]
+
+    def one(args):
+        bs, cc = args
+        keep = bs >= 0
+        safe = jnp.maximum(bs, 0)
+        sv = vectors[safe]  # [kc, cmax, d]
+        resid = jnp.where(keep[..., None], sv - cc[:, None, :], 0.0)
+        rns = jnp.sum(resid * resid, axis=2)
+        ns = jnp.where(keep, norms_sq[safe], 0.0)
+        inv = jnp.where(ns > 0, jax.lax.rsqrt(jnp.maximum(ns, 1e-30)), 0.0)
+        return (
+            jnp.transpose(resid, (0, 2, 1)).astype(cdtype),
+            rns, inv, jnp.sum(rns),
+        )
+
+    n_chunks = k_pad // kc
+    bt, rns, inv, sums = jax.lax.map(one, (
+        block_slot_pad.reshape(n_chunks, kc, cmax),
+        cent_pad.reshape(n_chunks, kc, d),
+    ))
+    return (
+        bt.reshape(k_pad, d, cmax)[:k_real],
+        rns.reshape(k_pad, cmax)[:k_real],
+        inv.reshape(k_pad, cmax)[:k_real],
+        block_slot_pad[:k_real],
+        block_slot_pad[:k_real] >= 0,
+        jnp.sum(sums),
+    )
 
 
 @jax.jit
@@ -224,6 +271,11 @@ class IVFIndex:
     """Inverted-file engine over a shared VectorStore."""
 
     name = "ivf"
+    #: layout gathers rows from the store's device copy (_layout_dev);
+    #: the sharded engine keeps the host path — its block arrays place
+    #: cluster-sharded over the mesh and its gather source is row-sharded,
+    #: so a single-device gather program would mix placements
+    _layout_on_device = True
 
     def __init__(
         self,
@@ -313,9 +365,14 @@ class IVFIndex:
                 return
             K = k or c.n_clusters or self._auto_k(n_live)
             K = min(K, n_live)
+            dev = (
+                self.store.device_view() if self._layout_on_device else None
+            )
             cents, assign = train_kmeans(
                 self.store._np_vectors, valid, K, n_iters=c.kmeans_iters,
                 seed=c.seed,
+                vectors_dev=None if dev is None else dev.vectors,
+                valid_dev=None if dev is None else dev.valid,
             )
             # cap clusters by SPLITTING (extra local centroids), never by
             # spilling rows to far clusters — spill caps recall (~0.95 on
@@ -632,6 +689,37 @@ class IVFIndex:
                 scores[at: at + m] = np.asarray(s)[:m]
         return (out, scores) if return_scores else out
 
+    def _assign_nearest_slots(
+        self, slots: np.ndarray, chunk: int = 1 << 16,
+    ):
+        """(nearest live-centroid id, winning affine score) for store rows
+        by SLOT, row-chunked like :meth:`_assign_nearest` — but gathering
+        from the store's device copy, so a full-corpus refresh uploads
+        only the slot indices (512 MB -> 8 MB at 1M x 128-d over the
+        tunnel; PCIe-bound co-located hosts save proportionally)."""
+        vectors, _ = self._gather_source()
+        cent_j, c_ns = self._cent_dev
+        K = cent_j.shape[0]
+        live = jnp.asarray(
+            np.ones(K, bool)
+            if self._cluster_live is None
+            else np.asarray(self._cluster_live, bool)
+        )
+        n = len(slots)
+        chunk = min(chunk, _pow2(max(n, 8)))
+        out = np.empty(n, np.int64)
+        scores = np.empty(n, np.float32)
+        for at in range(0, n, chunk):
+            s = np.zeros(chunk, np.int64)
+            m = min(chunk, n - at)
+            s[:m] = slots[at: at + m]
+            a, sc = _nearest_centroid_slots(
+                jnp.asarray(s), vectors, cent_j, c_ns, live
+            )
+            out[at: at + m] = np.asarray(a)[:m]
+            scores[at: at + m] = np.asarray(sc)[:m]
+        return out, scores
+
     def refresh(self) -> None:
         """Re-layout every live row against the EXISTING centroids — no
         k-means retrain, no cluster split: one chunked nearest-centroid
@@ -662,8 +750,13 @@ class IVFIndex:
             )
             if n_live > n_live_clusters * cmax:
                 return self.build()  # no room even w/ spill: resize/retrain
-            vecs = self.store._np_vectors[rows]
-            a, best_s = self._assign_nearest(vecs, return_scores=True)
+            if self._layout_on_device:
+                # gather from the device corpus copy: slots upload, not rows
+                a, best_s = self._assign_nearest_slots(rows)
+                vecs = self.store._np_vectors[rows]  # host-only drift stat
+            else:
+                vecs = self.store._np_vectors[rows]
+                a, best_s = self._assign_nearest(vecs, return_scores=True)
             assign = np.full(self.store.capacity, -1, np.int64)
             assign[rows] = a
             counts = np.bincount(a, minlength=K)
@@ -763,19 +856,27 @@ class IVFIndex:
                     )
 
     def _maintenance_job(self, kind: str) -> None:
+        ok = False
         try:
             self._run_maintenance(kind)
+            ok = True
         except Exception as e:  # noqa: BLE001 — background thread boundary
             self._maint_error = repr(e)
         finally:
-            # clear-and-resubmit under ONE lock acquisition, so a waiter
+            # clear-and-re-evaluate under ONE lock acquisition, so a waiter
             # can never observe (no thread, no pending) while a queued job
-            # is still owed a thread
+            # is still owed a thread. Triggers that fired DURING the job
+            # re-check against the POST-swap counters (the swap reset the
+            # churn they measured) instead of unconditionally paying a
+            # second full rebuild; on failure nothing re-submits — churn
+            # was not reset, so the next write re-triggers naturally.
             with self._lock:
+                if ok:
+                    self._maint_error = None
                 self._maint_thread = None
                 pending, self._maint_pending = self._maint_pending, None
-                if pending is not None:
-                    self._submit_maintenance(pending)
+                if pending is not None and ok:
+                    self._maybe_rebuild()
 
     def _run_maintenance(self, kind: str) -> None:
         """Double-buffered rebuild: build the next layout into a staging
@@ -983,7 +1084,7 @@ class IVFIndex:
         m = _pow2(max(len(slots_np), 8))
         ps = np.zeros(m, np.int64)
         ps[: len(slots_np)] = slots_np
-        a = _nearest_centroid_slots(
+        a, _ = _nearest_centroid_slots(
             jnp.asarray(ps), vectors, cent_j, c_ns, live
         )
         return np.asarray(a)[: len(slots_np)].astype(np.int64)
@@ -1472,7 +1573,6 @@ class IVFIndex:
                 return self._assign_scores(vectors[rows])
 
             assign = balance_assignment(assign, scores_fn, cmax, K)
-        blocks = np.zeros((K, cmax, self.store.dim), np.float32)
         block_slot = np.full((K, cmax), -1, np.int32)
         slot_pos = np.full((self.store.capacity, 2), -1, np.int64)
         order = np.argsort(assign, kind="stable")
@@ -1481,32 +1581,57 @@ class IVFIndex:
         fill = np.bincount(sorted_c, minlength=K).astype(np.int64)
         first = np.concatenate([[0], np.cumsum(fill)[:-1]])
         pos_in = np.arange(len(order)) - first[sorted_c]
-        # blocks hold RESIDUALS v - c_k: the bf16 probe matmul then only
-        # carries cluster-radius magnitudes; the f32 per-(query, cluster)
-        # constants restore exactness (ops/ivf_kernels.ivf_query docstring)
-        placed = vectors[order]
-        blocks[sorted_c, pos_in] = placed - self._centroids[sorted_c]
         block_slot[sorted_c, pos_in] = order
         slot_pos[order, 0] = sorted_c
         slot_pos[order, 1] = pos_in
-        rns = np.sum(blocks.astype(np.float64) ** 2, axis=2).astype(np.float32)
-        # drift baseline for refresh(): mean squared residual over live rows
-        # (zero rows at unoccupied positions don't perturb the sum)
-        self._built_resid = float(rns.sum() / max(n_live, 1))
-        full_ns = np.zeros((K, cmax), np.float64)
-        full_ns[sorted_c, pos_in] = np.sum(placed.astype(np.float64) ** 2, axis=1)
-        inv = np.where(
-            full_ns > 0, 1.0 / np.sqrt(np.maximum(full_ns, 1e-30)), 0.0
-        ).astype(np.float32)
-        (
-            self._blocks_t, self._block_slot, self._block_ns,
-            self._block_inv, self._block_keep,
-        ) = self._put_block_arrays(
-            np.ascontiguousarray(
-                blocks.transpose(0, 2, 1).astype(self._np_compute_dtype())
-            ),
-            block_slot, rns, inv, block_slot >= 0,
-        )
+        # blocks hold RESIDUALS v - c_k: the bf16 probe matmul then only
+        # carries cluster-radius magnitudes; the f32 per-(query, cluster)
+        # constants restore exactness (ops/ivf_kernels.ivf_query docstring)
+        if self._layout_on_device:
+            # gather rows from the store's DEVICE copy: only the [K, cmax]
+            # slot map uploads; the block tensor never exists on host
+            vectors_dev, ns_dev = self._gather_source()
+            kc = max(1, min(K, (1 << 21) // max(cmax, 1)))
+            k_pad = (K + kc - 1) // kc * kc
+            bs_pad = np.full((k_pad, cmax), -1, np.int32)
+            bs_pad[:K] = block_slot
+            cent_pad = np.zeros((k_pad, self.store.dim), np.float32)
+            cent_pad[:K] = self._centroids
+            (
+                self._blocks_t, self._block_ns, self._block_inv,
+                self._block_slot, self._block_keep, rsum,
+            ) = _layout_dev(
+                jnp.asarray(bs_pad), vectors_dev, ns_dev,
+                jnp.asarray(cent_pad),
+                kc=kc, k_real=K, cdtype=self.compute_dtype,
+            )
+            # drift baseline for refresh(): mean squared residual over live
+            # rows (unoccupied positions contribute zero to the sum)
+            self._built_resid = float(np.asarray(rsum)) / max(n_live, 1)
+        else:
+            blocks = np.zeros((K, cmax, self.store.dim), np.float32)
+            placed = vectors[order]
+            blocks[sorted_c, pos_in] = placed - self._centroids[sorted_c]
+            rns = np.sum(
+                blocks.astype(np.float64) ** 2, axis=2
+            ).astype(np.float32)
+            self._built_resid = float(rns.sum() / max(n_live, 1))
+            full_ns = np.zeros((K, cmax), np.float64)
+            full_ns[sorted_c, pos_in] = np.sum(
+                placed.astype(np.float64) ** 2, axis=1
+            )
+            inv = np.where(
+                full_ns > 0, 1.0 / np.sqrt(np.maximum(full_ns, 1e-30)), 0.0
+            ).astype(np.float32)
+            (
+                self._blocks_t, self._block_slot, self._block_ns,
+                self._block_inv, self._block_keep,
+            ) = self._put_block_arrays(
+                np.ascontiguousarray(
+                    blocks.transpose(0, 2, 1).astype(self._np_compute_dtype())
+                ),
+                block_slot, rns, inv, block_slot >= 0,
+            )
         self._keep_pending = []
         self._fill = fill
         self._slot_pos = slot_pos

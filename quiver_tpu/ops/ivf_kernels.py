@@ -80,18 +80,28 @@ def train_kmeans(
     *,
     n_iters: int = 10,
     seed: int = 0,
+    vectors_dev=None,
+    valid_dev=None,
 ):
     """K-means over the live rows. Returns (centroids f32[k, d],
     assign i32[n] with -1 for invalid rows). Runs Lloyd on device; empty
-    clusters are re-seeded from random live rows on host (rare)."""
+    clusters are re-seeded from random live rows on host (rare).
+
+    ``vectors_dev``/``valid_dev``: an already-device-resident corpus copy
+    (the store's device view) to run Lloyd on instead of re-uploading the
+    host arrays — at 10M x 128-d that upload is 5.1 GB. Host ``vectors``
+    still serves the tiny init/empty-reseed gathers."""
     rng = np.random.default_rng(seed)
     live = np.flatnonzero(valid)
     if len(live) < k:
         raise ValueError(f"need at least k={k} live rows, have {len(live)}")
     init = vectors[rng.choice(live, size=k, replace=False)].astype(np.float32)
     cents, assign = _lloyd_iters(
-        jnp.asarray(vectors, jnp.float32), jnp.asarray(init),
-        jnp.asarray(valid, bool), n_iters,
+        jnp.asarray(vectors, jnp.float32) if vectors_dev is None
+        else vectors_dev,
+        jnp.asarray(init),
+        jnp.asarray(valid, bool) if valid_dev is None else valid_dev,
+        n_iters,
     )
     cents = np.array(cents)  # writable copies (jax arrays view read-only)
     assign = np.array(assign)

@@ -229,6 +229,10 @@ class ShardedIVFIndex(IVFIndex):
     """
 
     name = "sharded_ivf"
+    #: host-side layout: block arrays are cluster-sharded over the mesh
+    #: while the gather source is row-sharded (index/ivf.py _layout_dev
+    #: would mix placements in one program)
+    _layout_on_device = False
 
     def __init__(
         self,
