@@ -85,6 +85,30 @@ def _nearest_centroid_slots(slots, vectors, cent, c_ns, live):
     return jnp.argmax(scores, axis=1), jnp.max(scores, axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("metric", "k"))
+def _overflow_topk(q, slots, vectors, norms_sq, *, metric, k):
+    """Exactly score an overflow slot list against a query batch and keep
+    the per-query top-k, entirely on device: rows gather from the store's
+    device copy by slot (the former host path re-gathered and re-uploaded
+    the O x d overflow matrix on EVERY query call — ~25 MB per call at
+    O=50k through the tunnel) and only the [B, k] winners download.
+
+    ``slots`` pads to a pow2 length with -1 sentinels (masked to
+    MASKED_DIST so they never win)."""
+    from quiver_tpu.ops.distance import pairwise_distance
+
+    safe = jnp.maximum(slots, 0)
+    rows = vectors[safe]
+    d = pairwise_distance(
+        q, rows, metric, v_norms_sq=norms_sq[safe]
+    )  # [B, O]
+    d = jnp.where(slots[None, :] >= 0, d, MASKED_DIST)
+    neg_top, pos = jax.lax.top_k(-d, min(k, slots.shape[0]))
+    out_d = -neg_top
+    out_i = jnp.where(out_d >= MASKED_DIST, -1, slots[pos])
+    return out_d, out_i
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
 def _scatter_blocks_dev(
     blocks_t, block_ns, block_inv, block_slot,
@@ -1403,42 +1427,37 @@ class IVFIndex:
         full) and merge — bounded-size brute force, classic IVF spill.
         ``overflow`` is the sorted slot list snapshotted at dispatch time.
 
-        Both operand dims pad to powers of two (queries repeat row 0, rows
-        pad with +inf-distance sentinels) so the scoring program is one of
+        The scoring runs on device (``_overflow_topk``: rows gather from
+        the store's device copy, only [B, k] winners download) with both
+        operand dims padded to powers of two, so the program is one of
         ~log2 shapes instead of recompiling for every (B, overflow-count)
-        pair the serving mix produces."""
-        from quiver_tpu.ops.distance import pairwise_distance
-
+        pair the serving mix produces. Overflow slots are by construction
+        absent from the block layout, so the merge needs no dedup."""
         slots = np.asarray(overflow, np.int64)
         keep_np = np.asarray(keep)
         slots = slots[keep_np[slots]]
         if not len(slots):
             return dist, idx
-        rows = self.store._np_vectors[slots]  # [O, d]
         B, O = q.shape[0], len(slots)
+        W = dist.shape[1]
         Bp, Op = _pow2(B), _pow2(O)
         q_pad = q if Bp == B else np.concatenate(
             [q, np.broadcast_to(q[:1], (Bp - B, q.shape[1]))]
         )
-        rows_pad = rows if Op == O else np.concatenate(
-            [rows, np.zeros((Op - O, rows.shape[1]), rows.dtype)]
+        slots_pad = np.full(Op, -1, np.int64)
+        slots_pad[:O] = slots
+        vectors, norms = self._gather_source()
+        d_o, i_o = fetch_np(*_overflow_topk(
+            jnp.asarray(q_pad), jnp.asarray(slots_pad),
+            vectors, norms, metric=self._metric(), k=W,
+        ))
+        cd = np.concatenate([dist, d_o[:B]], axis=1)
+        ci = np.concatenate([idx, i_o[:B].astype(idx.dtype)], axis=1)
+        order = np.argsort(cd, axis=1, kind="stable")[:, :W]
+        return (
+            np.take_along_axis(cd, order, axis=1),
+            np.take_along_axis(ci, order, axis=1),
         )
-        d_o = np.asarray(
-            pairwise_distance(
-                jnp.asarray(q_pad), jnp.asarray(rows_pad), self._metric()
-            )
-        )[:B, :O]
-        from quiver_tpu.index.hnsw import _merge_rows
-
-        o_idx = np.broadcast_to(slots[None, :], d_o.shape)
-        out_d = np.empty_like(dist)
-        out_i = np.empty_like(idx)
-        for b in range(B):
-            order = np.argsort(d_o[b])[:k]
-            out_d[b], out_i[b] = _merge_rows(
-                dist[b], idx[b], d_o[b][order], o_idx[b][order], dist.shape[1]
-            )
-        return out_d, out_i
 
     # ----------------------------------------------------------- tunables
 

@@ -126,6 +126,36 @@ def test_ivf_overflow_spill_scanned():
     assert len(set(int(x) for x in got if x >= 0) & set(int(s) for s in slots)) > 0
 
 
+def test_ivf_overflow_merge_matches_exact_oracle():
+    # With EVERY cluster probed, ample pair budget, and rescore on, the
+    # only approximation left in the pipeline is the overflow merge — so
+    # results must match the exact oracle row-for-row (within distance
+    # ties). Regression guard for the device-side overflow scorer +
+    # vectorized merge (_overflow_topk / _merge_overflow).
+    store, vecs, eng = make(
+        n=1500, cmax_factor=1.02, n_probe=64, q_cap_factor=64, rescore=True,
+        rebuild_growth=10.0,
+    )
+    rng = np.random.default_rng(4)
+    # concentrate inserts on a few blobs so blocks fill and rows spill
+    new = (vecs[rng.integers(0, 50, 400)]
+           + 0.01 * rng.normal(size=(400, D))).astype(np.float32)
+    slots = store.add_batch([f"o{i}" for i in range(400)], new)
+    eng.on_insert(slots, new)
+    assert eng._overflow, "config failed to force an overflow set"
+    q = (vecs[rng.integers(0, len(vecs), 32)]
+         + 0.05 * rng.normal(size=(32, D))).astype(np.float32)
+    od, oi = ExactIndex(store).search_slots(q, 10)
+    gd, gi = eng.search_slots(q, 10)
+    od, gd = np.asarray(od), np.asarray(gd)
+    # distances agree exactly at every rank (ties may permute ids)
+    np.testing.assert_allclose(gd, od, rtol=1e-5, atol=1e-5)
+    overlap = np.mean([
+        len(set(gi[b].tolist()) & set(oi[b].tolist())) / 10 for b in range(32)
+    ])
+    assert overlap >= 0.99
+
+
 def test_ivf_slot_reuse_no_stale_entry():
     # delete a row, let the store reuse its slot for a NEW vector: the old
     # block entry must stay dead (a slot-addressed validity mask would
