@@ -21,6 +21,9 @@ from bench import BUILD_CACHE, N_CENTERS, N_PROBE, clustered
 from benches.common import emit, env_int, recall_at_k
 
 N = env_int("QUIVER_BENCH_N", 1_000_000)
+#: comma list: which engine legs to run (re-running one leg after an
+#: engine change shouldn't pay the other's 1M build)
+ENGINES = os.environ.get("QUIVER_BENCH_ENGINES", "ivf,hnsw").split(",")
 D, B, K = 128, 256, 10
 STREAM_BATCH = 8192
 STREAM_BATCHES = env_int("QUIVER_BENCH_STREAM_BATCHES", 8)
@@ -105,58 +108,62 @@ def main():
     rng = np.random.default_rng(7)
 
     # ---------------- IVF
-    store = VectorStore(dim=D, metric="euclidean", capacity=total)
-    slots = store.add_batch([f"v{i}" for i in range(N)], corpus[:N])
-    eng = IVFIndex(store, config=IVFConfig(
-        n_clusters=1024, n_probe=N_PROBE or 3, q_cap_factor=2, kmeans_iters=8,
-        build_threshold=1024, rescore=False))
-    if N == 1_000_000 and os.path.exists(BUILD_CACHE):
-        z = np.load(BUILD_CACHE)
-        assign = np.full(store.capacity, -1, np.int64)
-        assign[: len(z["assign"])] = z["assign"]
-        eng.import_topology(
-            {"kind": np.bytes_(b"ivf"), "centroids": z["centroids"],
-             "assign": assign, "cmax": np.int64(z["cmax"])},
-            np.arange(store.capacity))
-    else:
+    if "ivf" in ENGINES:
+        store = VectorStore(dim=D, metric="euclidean", capacity=total)
+        store.add_batch([f"v{i}" for i in range(N)], corpus[:N])
+        eng = IVFIndex(store, config=IVFConfig(
+            n_clusters=1024, n_probe=N_PROBE or 3, q_cap_factor=2,
+            kmeans_iters=8, build_threshold=1024, rescore=False))
+        if N == 1_000_000 and os.path.exists(BUILD_CACHE):
+            z = np.load(BUILD_CACHE)
+            assign = np.full(store.capacity, -1, np.int64)
+            assign[: len(z["assign"])] = z["assign"]
+            eng.import_topology(
+                {"kind": np.bytes_(b"ivf"), "centroids": z["centroids"],
+                 "assign": assign, "cmax": np.int64(z["cmax"])},
+                np.arange(store.capacity))
+        else:
+            t0 = time.perf_counter()
+            eng.build()
+            emit(f"ivf build wall-clock, N={N} d={D}",
+                 time.perf_counter() - t0, "s", n_clusters=eng.n_clusters)
+        exact = ExactIndex(store)
+        warm_s = eng.warmup(query_batches=(B,), write_batches=(STREAM_BATCH,))
+        emit("ivf warmup (serve+write compile ladder)", warm_s, "s")
+        _stream(eng, store, corpus, N, exact, rng, "ivf")
+
+        # rebuild-under-churn walls (VERDICT r2 weak #8): the cheap
+        # re-layout on existing centroids vs a full k-means retrain, at
+        # post-stream scale
+        t0 = time.perf_counter()
+        eng.refresh()
+        emit(f"ivf refresh wall (existing centroids), N={store.size}",
+             time.perf_counter() - t0, "s")
         t0 = time.perf_counter()
         eng.build()
-        emit(f"ivf build wall-clock, N={N} d={D}",
+        emit(f"ivf full rebuild wall (k-means retrain), N={store.size}",
              time.perf_counter() - t0, "s", n_clusters=eng.n_clusters)
-    exact = ExactIndex(store)
-    warm_s = eng.warmup(query_batches=(B,), write_batches=(STREAM_BATCH,))
-    emit("ivf warmup (serve+write compile ladder)", warm_s, "s")
-    _stream(eng, store, corpus, N, exact, rng, "ivf")
-
-    # rebuild-under-churn walls (VERDICT r2 weak #8): the cheap re-layout
-    # on existing centroids vs a full k-means retrain, at post-stream scale
-    t0 = time.perf_counter()
-    eng.refresh()
-    emit(f"ivf refresh wall (existing centroids), N={store.size}",
-         time.perf_counter() - t0, "s")
-    t0 = time.perf_counter()
-    eng.build()
-    emit(f"ivf full rebuild wall (k-means retrain), N={store.size}",
-         time.perf_counter() - t0, "s", n_clusters=eng.n_clusters)
 
     # ---------------- HNSW
-    g_store = VectorStore(dim=D, metric="euclidean", capacity=total)
-    g_slots = g_store.add_batch([f"v{i}" for i in range(N)], corpus[:N])
-    idx = HNSWIndex(g_store, build_batch=8192, compute_dtype=jnp.bfloat16)
-    if os.path.exists(HNSW_TOPO_CACHE):
-        idx.import_topology(dict(np.load(HNSW_TOPO_CACHE)),
-                            np.arange(g_store.capacity))
-        print("# hnsw topology loaded from cache", flush=True)
-    else:
-        t0 = time.perf_counter()
-        idx.on_insert(np.asarray(g_slots), corpus[:N])
-        build_s = time.perf_counter() - t0
-        emit(f"hnsw build wall-clock, N={N} d={D} M=16 efC=200",
-             build_s, "s", inserts_per_s=round(N / build_s, 1))
-        np.savez(HNSW_TOPO_CACHE,
-                 **{k: v for k, v in idx.export_topology().items()})
-    g_exact = ExactIndex(g_store)
-    _stream(idx, g_store, corpus, N, g_exact, rng, "hnsw")
+    if "hnsw" in ENGINES:
+        g_store = VectorStore(dim=D, metric="euclidean", capacity=total)
+        g_slots = g_store.add_batch([f"v{i}" for i in range(N)], corpus[:N])
+        idx = HNSWIndex(g_store, build_batch=8192,
+                        compute_dtype=jnp.bfloat16)
+        if os.path.exists(HNSW_TOPO_CACHE):
+            idx.import_topology(dict(np.load(HNSW_TOPO_CACHE)),
+                                np.arange(g_store.capacity))
+            print("# hnsw topology loaded from cache", flush=True)
+        else:
+            t0 = time.perf_counter()
+            idx.on_insert(np.asarray(g_slots), corpus[:N])
+            build_s = time.perf_counter() - t0
+            emit(f"hnsw build wall-clock, N={N} d={D} M=16 efC=200",
+                 build_s, "s", inserts_per_s=round(N / build_s, 1))
+            np.savez(HNSW_TOPO_CACHE,
+                     **{k: v for k, v in idx.export_topology().items()})
+        g_exact = ExactIndex(g_store)
+        _stream(idx, g_store, corpus, N, g_exact, rng, "hnsw")
 
 
 if __name__ == "__main__":

@@ -138,23 +138,33 @@ def _scatter_blocks_dev(
     return blocks_t, block_ns, block_inv, block_slot
 
 
-@functools.partial(jax.jit, static_argnames=("kc", "k_real", "cdtype"))
-def _layout_dev(block_slot_pad, vectors, norms_sq, cent_pad, *, kc, k_real,
-                cdtype):
+@functools.partial(jax.jit, static_argnames=("kc", "cdtype"))
+def _layout_dev(block_slot, vectors, norms_sq, cents, *, kc, cdtype):
     """Device-side block layout: gather every placed row from the store's
     device copy and form the four block arrays WITHOUT materializing them
     on host. The former host path built blocks_t on host and re-uploaded
     ~0.7 GB per refresh at 1M x 128-d (50-140 s of tunnel saturation that
     starved concurrent serving during background maintenance; ~1 s of PCIe
     even co-located) — now only the [K, cmax] slot map uploads (~70x less).
-    Chunked via lax.map so the f32 gather intermediate stays ~1 GB at any
-    corpus size; pad clusters (block_slot == -1 rows beyond k_real) zero
-    out through the keep mask."""
-    k_pad, cmax = block_slot_pad.shape
-    d = vectors.shape[1]
 
-    def one(args):
-        bs, cc = args
+    One jitted fori_loop writing kc-cluster chunks in place into
+    exactly-K-sized carries: a previous map-over-padded-K + slice-to-K
+    version held the padded block tensor AND its sliced copy live at
+    once, which OOM'd HBM at 10M x 128-d (the block tensor is ~3.4 GiB
+    there; doubling it on top of the 8 GiB store view blew the 15.75 GiB
+    budget). The last chunk overlaps the previous instead of padding
+    (clamped start; overlap rows recompute identical values), and the
+    drift accumulator masks the overlap so each row counts once."""
+    K, cmax = block_slot.shape
+    d = vectors.shape[1]
+    kc = min(kc, K)
+    n_chunks = -(-K // kc)
+
+    def body(i, carry):
+        bt, rns_all, inv_all, acc = carry
+        start = jnp.minimum(i * kc, K - kc)
+        bs = jax.lax.dynamic_slice(block_slot, (start, 0), (kc, cmax))
+        cc = jax.lax.dynamic_slice(cents, (start, 0), (kc, d))
         keep = bs >= 0
         safe = jnp.maximum(bs, 0)
         sv = vectors[safe]  # [kc, cmax, d]
@@ -162,24 +172,27 @@ def _layout_dev(block_slot_pad, vectors, norms_sq, cent_pad, *, kc, k_real,
         rns = jnp.sum(resid * resid, axis=2)
         ns = jnp.where(keep, norms_sq[safe], 0.0)
         inv = jnp.where(ns > 0, jax.lax.rsqrt(jnp.maximum(ns, 1e-30)), 0.0)
+        uniq = (start + jnp.arange(kc)) >= i * kc  # overlap counts once
+        bt = jax.lax.dynamic_update_slice(
+            bt, jnp.transpose(resid, (0, 2, 1)).astype(cdtype), (start, 0, 0)
+        )
+        rns_all = jax.lax.dynamic_update_slice(rns_all, rns, (start, 0))
+        inv_all = jax.lax.dynamic_update_slice(inv_all, inv, (start, 0))
         return (
-            jnp.transpose(resid, (0, 2, 1)).astype(cdtype),
-            rns, inv, jnp.sum(rns),
+            bt, rns_all, inv_all,
+            acc + jnp.sum(jnp.where(uniq[:, None], rns, 0.0)),
         )
 
-    n_chunks = k_pad // kc
-    bt, rns, inv, sums = jax.lax.map(one, (
-        block_slot_pad.reshape(n_chunks, kc, cmax),
-        cent_pad.reshape(n_chunks, kc, d),
-    ))
-    return (
-        bt.reshape(k_pad, d, cmax)[:k_real],
-        rns.reshape(k_pad, cmax)[:k_real],
-        inv.reshape(k_pad, cmax)[:k_real],
-        block_slot_pad[:k_real],
-        block_slot_pad[:k_real] >= 0,
-        jnp.sum(sums),
+    bt, rns_all, inv_all, acc = jax.lax.fori_loop(
+        0, n_chunks, body,
+        (
+            jnp.zeros((K, d, cmax), cdtype),
+            jnp.zeros((K, cmax), jnp.float32),
+            jnp.zeros((K, cmax), jnp.float32),
+            jnp.float32(0.0),
+        ),
     )
+    return bt, rns_all, inv_all, block_slot, block_slot >= 0, acc
 
 
 @jax.jit
@@ -1611,18 +1624,13 @@ class IVFIndex:
             # slot map uploads; the block tensor never exists on host
             vectors_dev, ns_dev = self._gather_source()
             kc = max(1, min(K, (1 << 21) // max(cmax, 1)))
-            k_pad = (K + kc - 1) // kc * kc
-            bs_pad = np.full((k_pad, cmax), -1, np.int32)
-            bs_pad[:K] = block_slot
-            cent_pad = np.zeros((k_pad, self.store.dim), np.float32)
-            cent_pad[:K] = self._centroids
             (
                 self._blocks_t, self._block_ns, self._block_inv,
                 self._block_slot, self._block_keep, rsum,
             ) = _layout_dev(
-                jnp.asarray(bs_pad), vectors_dev, ns_dev,
-                jnp.asarray(cent_pad),
-                kc=kc, k_real=K, cdtype=self.compute_dtype,
+                jnp.asarray(block_slot), vectors_dev, ns_dev,
+                jnp.asarray(self._centroids),
+                kc=kc, cdtype=self.compute_dtype,
             )
             # drift baseline for refresh(): mean squared residual over live
             # rows (unoccupied positions contribute zero to the sum)

@@ -32,10 +32,20 @@ _MATMUL_METRICS = (
 )
 
 
-def norms_sq(v: jax.Array) -> jax.Array:
-    """Row-wise squared L2 norms, f32."""
+@jax.jit
+def _norms_sq_fused(v: jax.Array) -> jax.Array:
     v = v.astype(jnp.float32)
     return jnp.sum(v * v, axis=-1)
+
+
+def norms_sq(v: jax.Array) -> jax.Array:
+    """Row-wise squared L2 norms, f32.
+
+    Jitted so the square fuses into the reduce: called eagerly on a large
+    corpus (store.device_view at 10M rows), the unfused ``v * v`` alone
+    materializes a corpus-sized temporary and OOMs HBM.
+    """
+    return _norms_sq_fused(v)
 
 
 def inv_norms(v_norms_sq: jax.Array) -> jax.Array:

@@ -641,3 +641,42 @@ def test_ivf_warmup_is_stateless_and_covers_shapes():
         np.testing.assert_array_equal(b, a)
     d, i = eng.search_slots(vecs[:4], k=1)
     assert (np.asarray(i)[:, 0] == np.arange(4)).all()
+
+
+def test_layout_dev_multichunk_overlap_matches_oracle():
+    """_layout_dev writes kc-cluster chunks in place; the last chunk's
+    start clamps (overlap) instead of padding K. Blocks, residual norms,
+    and the drift accumulator must match a host oracle exactly — the
+    overlap rows recompute but may only count once in the accumulator."""
+    import jax.numpy as jnp
+
+    from quiver_tpu.index.ivf import _layout_dev
+
+    rng = np.random.default_rng(1)
+    cap, d, K, cmax = 256, 8, 10, 4  # kc=3: chunk starts 0,3,6,clamped-7
+    vec = rng.normal(size=(cap, d)).astype(np.float32)
+    ns = (vec ** 2).sum(1).astype(np.float32)
+    bs = np.full((K, cmax), -1, np.int32)
+    for k in range(K):
+        m = rng.integers(1, cmax + 1)
+        bs[k, :m] = rng.choice(cap, size=m, replace=False)
+    cents = rng.normal(size=(K, d)).astype(np.float32)
+    bt, rns, inv, bslot, keep, acc = _layout_dev(
+        jnp.asarray(bs), jnp.asarray(vec), jnp.asarray(ns),
+        jnp.asarray(cents), kc=3, cdtype=jnp.float32,
+    )
+    bt_o = np.zeros((K, d, cmax), np.float32)
+    rns_o = np.zeros((K, cmax), np.float32)
+    acc_o = 0.0
+    for k in range(K):
+        for p in range(cmax):
+            s_ = bs[k, p]
+            if s_ >= 0:
+                r = vec[s_] - cents[k]
+                bt_o[k, :, p] = r
+                rns_o[k, p] = (r ** 2).sum()
+                acc_o += (r ** 2).sum()
+    np.testing.assert_allclose(np.asarray(bt), bt_o, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rns), rns_o, atol=1e-4)
+    assert abs(float(acc) - acc_o) < 1e-2
+    np.testing.assert_array_equal(np.asarray(keep), bs >= 0)
