@@ -24,6 +24,7 @@ MODULES = [
     "benches.bench_churn",
     "benches.bench_latency",
     "benches.bench_api",
+    "benches.bench_memory",
     "benches.bench_10m",
 ]
 # benches.bench_skew runs separately: it forces the 8-virtual-CPU mesh
