@@ -624,9 +624,11 @@ class HNSWIndex:
             u_budgets=tuple(u_budgets),
             # appended sources per overflow row per batch: the re-selection
             # block is [u, deg+e_budget]^2 per chunk, so e_budget bounds
-            # the dominant cost; a row with >16 announcements in ONE batch
-            # keeps its 16 highest-priority ones (rest spill-counted)
-            e_budget=16,
+            # the dominant cost. Scales with the configured layer-0 degree
+            # (ADVICE r4 #3 — a constant 16 silently starved hub rows on
+            # m0 > 16 configs): a row with more announcements in ONE batch
+            # keeps its e_budget highest-priority ones (rest spill-counted)
+            e_budget=max(16, _pow2(c.m0 // 2, lo=16)),
             c_lvls=tuple(range(batch_max, -1, -1)),
             tile=tile,
             approx=c.build_approx,

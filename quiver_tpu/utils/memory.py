@@ -30,16 +30,50 @@ def _is_device_array(x: Any) -> bool:
     return isinstance(x, jax.Array)
 
 
+def _buffer_key(x: jax.Array):
+    """Identity of the UNDERLYING device buffer(s), not the Python object:
+    two jax.Array views aliasing one buffer must count once (ADVICE r4
+    #4 — id() dedup double-counted aliases)."""
+    try:
+        return ("p", x.unsafe_buffer_pointer())
+    except Exception:  # noqa: BLE001 — sharded arrays have no single ptr
+        try:
+            return ("s", tuple(
+                s.data.unsafe_buffer_pointer() for s in x.addressable_shards
+            ))
+        except Exception:  # noqa: BLE001
+            return ("i", id(x))
+
+
+def _per_chip_nbytes(x: jax.Array) -> int:
+    """Bytes this array occupies PER CHIP: for a mesh-sharded array,
+    jax.Array.nbytes is the GLOBAL logical size — reporting it as a
+    per-chip footprint overstates HBM by the shard count (ADVICE r4 #4).
+    Sums the addressable shards' real buffer bytes and divides by the
+    number of distinct devices they live on (replicated arrays cost their
+    full size on every chip and report it; evenly sharded arrays report
+    global/n)."""
+    try:
+        shards = x.addressable_shards
+        if not shards:
+            return int(x.nbytes)
+        n_dev = len({s.device for s in shards})
+        return int(sum(s.data.nbytes for s in shards) / max(n_dev, 1))
+    except Exception:  # noqa: BLE001
+        return int(x.nbytes)
+
+
 def device_bytes(obj: Any, *, skip: tuple = ()) -> int:
-    """Total bytes of device buffers reachable from ``obj``'s attributes.
+    """Per-chip bytes of device buffers reachable from ``obj``'s attributes.
 
     Follows quiver_tpu-defined objects, lists/tuples/dicts; stops at any
     object whose type is in ``skip`` (e.g. VectorStore, so an engine's own
     footprint excludes the store it shares with every other engine).
-    Duplicate buffers (aliases) count once.
+    Duplicate buffers (aliases) count once, by underlying buffer identity;
+    mesh-sharded arrays count their per-chip share (see _per_chip_nbytes).
     """
     seen_objs: set[int] = set()
-    seen_bufs: set[int] = set()
+    seen_bufs: set = set()
     total = 0
 
     def walk(x, depth):
@@ -47,9 +81,10 @@ def device_bytes(obj: Any, *, skip: tuple = ()) -> int:
         if x is None or depth > _MAX_DEPTH:
             return
         if _is_device_array(x):
-            if id(x) not in seen_bufs:
-                seen_bufs.add(id(x))
-                total += x.nbytes
+            key = _buffer_key(x)
+            if key not in seen_bufs:
+                seen_bufs.add(key)
+                total += _per_chip_nbytes(x)
             return
         if isinstance(x, (str, bytes, int, float, bool, np.ndarray)):
             return
