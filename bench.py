@@ -210,6 +210,12 @@ def main() -> None:
         "batch_latency_ms": round(per_batch * 1e3, 3),
         "run_spread_pct": round(spread_pct, 2),
     }
+    # tuner honesty: holdout recall next to realized so sampling optimism
+    # is visible in the artifact, not discovered later (VERDICT r4 #11)
+    if eng._tuned_recall is not None:
+        result["tuner_holdout_recall"] = round(eng._tuned_recall, 4)
+        result["tuner_holdout_gap"] = round(eng._tuned_recall - recall, 4)
+        result["tuner_sample"] = eng.config.recall_sample
     if dev_per_batch > 0:
         dev_qps = B / dev_per_batch
         result["device_qps"] = round(dev_qps, 1)

@@ -28,6 +28,7 @@ DEFAULTS = {
     "jwt_secret": "",
     "rate_limit": 0.0,
     "coalesce_window_ms": 2.0,
+    "search_backlog": 1024,
     "flush_interval_s": 300.0,
     "default_engine": "hybrid",
     "compute_dtype": "float32",
@@ -105,15 +106,18 @@ def cli(ctx: click.Context, config_path, data_dir, log_level) -> None:
 @click.option("--rate-limit", type=float, default=None)
 @click.option("--coalesce-window-ms", type=float, default=None,
               help="micro-batch window for concurrent searches; 0 disables")
+@click.option("--search-backlog", type=int, default=None,
+              help="max queued searches per collection before 429s; 0 disables")
 @click.pass_obj
 def serve(cfg, host, port, metrics_port, enable_auth, jwt_secret, rate_limit,
-          coalesce_window_ms) -> None:
+          coalesce_window_ms, search_backlog) -> None:
     """Start the REST API server (reference serveCmd, main.go:91-143)."""
     for key, val in (
         ("host", host), ("port", port), ("metrics_port", metrics_port),
         ("enable_auth", enable_auth), ("jwt_secret", jwt_secret),
         ("rate_limit", rate_limit),
         ("coalesce_window_ms", coalesce_window_ms),
+        ("search_backlog", search_backlog),
     ):
         if val is not None:
             cfg[key] = val
@@ -130,6 +134,7 @@ def serve(cfg, host, port, metrics_port, enable_auth, jwt_secret, rate_limit,
             jwt_secret=cfg["jwt_secret"],
             rate_limit=float(cfg["rate_limit"]),
             coalesce_window_ms=float(cfg["coalesce_window_ms"]),
+            search_backlog=int(cfg["search_backlog"]),
         ),
     )
     server.run()

@@ -305,8 +305,13 @@ class IVFConfig:
     #: hand-swept constant (VERDICT r3 next #5; adaptive spirit of
     #: reference pkg/hybrid/adaptive.go:75-174).
     recall_target: Optional[float] = None
-    #: held-out sample size for the tuner's oracle measurement
-    recall_sample: int = 256
+    #: held-out sample size for the tuner's oracle measurement. 1024
+    #: bounds sampling optimism: the round-4 run at 256 samples measured
+    #: 0.982 holdout vs 0.972 realized on 65k queries — one point of
+    #: luck, harmless at target 0.95 but enough to pass a near-gate
+    #: config that misses; at 1024 the binomial s.e. at recall ~0.95 is
+    #: ~0.7 points per-query (~0.2 on the mean over k) (VERDICT r4 #11)
+    recall_sample: int = 1024
     #: tuner query jitter, as a fraction of the sample's per-dim std
     #: (matches the serving benches' query model: corpus rows + 0.1σ noise)
     recall_jitter: float = 0.1
@@ -385,6 +390,12 @@ class IVFIndex:
         self._maint_error: Optional[str] = None
         self._maint_swaps = 0
         self._maint_last_stall_s = 0.0
+        #: (padded B, k) shapes the serving path has dispatched — the
+        #: maintenance thread pre-warms the staging layout's programs at
+        #: exactly these shapes before the swap, so a post-swap query
+        #: never pays the new block geometry's cold compile mid-stream
+        #: (VERDICT r4 #6: QPS dipped 6.5x during a growth rebuild)
+        self._served_shapes: set = set()
 
     # ------------------------------------------------------------ properties
 
@@ -995,6 +1006,15 @@ class IVFIndex:
                 eng.refresh()  # may escalate to build() internally
             if not eng._built:
                 return  # corpus shrank below viability; exact path serves
+            # pre-warm the staging layout's serve + write programs at the
+            # shapes the serving engine dispatches, BEFORE the swap: a
+            # grown corpus changes the block geometry (Cmax, sometimes K),
+            # and without this the first post-swap query pays the new
+            # shape's cold XLA compile mid-stream (VERDICT r4 #6 — QPS
+            # dipped 6.5x across a growth rebuild). The compile runs on
+            # this maintenance thread against the staging arrays; the old
+            # layout keeps serving warm programs throughout.
+            self._warm_staging(eng)
             restart = False
             while True:
                 cursor, delta = self.store.changes_since(cursor)
@@ -1020,6 +1040,32 @@ class IVFIndex:
                 if not restart:
                     return
                 break
+
+    def _warm_staging(self, eng: "IVFIndex") -> None:
+        """Compile the staging layout's query/write programs at the
+        serving mix's shapes (best-effort — a failed warm costs a
+        post-swap compile, never the rebuild)."""
+        try:
+            with self._lock:
+                shapes = sorted(self._served_shapes)
+            d = self.store.dim
+            outs = []
+            for bq, kq in shapes:
+                outs.append(
+                    eng.search_slots_device(jnp.zeros((bq, d)), kq)
+                )
+            # write side: the replay/ingest programs at the locked-replay
+            # bound (all rows dropped — layout untouched)
+            m = _pow2(min(_LOCKED_REPLAY_MAX, 256))
+            eng._assign_slots(np.zeros(m, np.int64))
+            K = eng._blocks_t.shape[0]
+            eng._scatter_block_rows(
+                np.full(m, K, np.int32), np.zeros(m, np.int32),
+                np.full(m, -1, np.int64),
+            )
+            jax.block_until_ready(outs)
+        except Exception:  # noqa: BLE001 — warm-up must never kill a swap
+            pass
 
     #: layout fields transplanted wholesale at swap time
     _ADOPT_FIELDS = (
@@ -1380,6 +1426,8 @@ class IVFIndex:
             K = cent_j.shape[0]
             P = min(self.config.n_probe, K)
             form, interp = self._resolve_formulation(k)
+            if len(self._served_shapes) < 64:  # bounded; serving mixes
+                self._served_shapes.add((int(queries.shape[0]), int(k)))
             return ivf_query(
                 queries, cent_j, c_ns,
                 self._blocks_t, self._block_slot, self._block_ns,
@@ -1605,6 +1653,7 @@ class IVFIndex:
                 "built": self._built,
                 "n_clusters": self.n_clusters,
                 "overflow": len(self._overflow),
+                "drift_overflow": len(self._drift),
                 "churn_since_build": self._churn,
                 "retrains": self._n_retrains,
                 "refreshes": self._n_refreshes,

@@ -315,3 +315,59 @@ def test_concurrent_searches_coalesce(tmp_path):
         assert len(calls) <= 3, calls  # burst coalesced into few dispatches
     finally:
         st.stop()
+
+
+def test_search_backlog_shed(tmp_path):
+    """Past the configured backlog, searches get an immediate 429 with a
+    Retry-After header instead of queueing unboundedly (VERDICT r4 #8 —
+    at 256 clients p95 was seconds of pure backlog; the per-IP limiter,
+    like the reference's middleware.go:79-139, can't see aggregate load)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    db = DB(DBOptions(
+        storage_path=str(tmp_path / "shed-data"),
+        default_engine="exact", flush_interval_s=0,
+    ))
+    st = ServerThread(db, ServerConfig(
+        host="127.0.0.1", port=18086, enable_metrics_server=False,
+        coalesce_window_ms=50.0, coalesce_max_batch=4,
+        search_backlog=4,  # tiny: the 16-client burst must shed
+    )).start()
+    base = "http://127.0.0.1:18086"
+    try:
+        requests.post(f"{base}/api/v1/collections", json={
+            "name": "sh", "dimension": D, "distance_function": "euclidean",
+        })
+        rng = np.random.default_rng(2)
+        vecs = rng.normal(size=(16, D)).astype(np.float32)
+        requests.post(f"{base}/api/v1/collections/sh/vectors/batch", json={
+            "vectors": [
+                {"id": f"v{i}", "vector": vecs[i].tolist()} for i in range(16)
+            ],
+        })
+        coll = db.get_collection("sh")
+        orig = coll.search_batch
+
+        def slow_batch(reqs):
+            time.sleep(0.3)  # hold the backlog full across the burst
+            return orig(reqs)
+
+        coll.search_batch = slow_batch
+
+        def one(i):
+            return requests.post(
+                f"{base}/api/v1/collections/sh/search",
+                json={"vector": vecs[i].tolist(), "top_k": 1},
+            )
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            rs = list(ex.map(one, range(16)))
+        codes = [r.status_code for r in rs]
+        assert codes.count(200) >= 4  # admitted work completes
+        shed = [r for r in rs if r.status_code == 429]
+        assert shed, codes  # the burst past backlog=4 was refused
+        for r in shed:
+            assert int(r.headers["Retry-After"]) >= 1
+            assert "retry" in r.json()["error"]
+    finally:
+        st.stop()
