@@ -77,9 +77,14 @@ def main():
     if os.path.exists(BUILD_CACHE):
         z = np.load(BUILD_CACHE)
         t0 = time.perf_counter()
+        # cache may predate a capacity-ladder change: live slots are
+        # 0..N-1 (sequential ingest), rows past capacity are -1 padding
+        assign = np.full(store.capacity, -1, np.int64)
+        m = min(len(z["assign"]), store.capacity)
+        assign[:m] = z["assign"][:m]
         eng.import_topology(
             {"kind": np.bytes_(b"ivf"), "centroids": z["centroids"],
-             "assign": z["assign"], "cmax": np.int64(z["cmax"])},
+             "assign": assign, "cmax": np.int64(z["cmax"])},
             np.arange(store.capacity))
         emit("ivf 10M layout from cached assignment",
              time.perf_counter() - t0, "s")

@@ -5,7 +5,7 @@ hybrid map, Collection.Vectors — reference: pkg/hybrid/hybrid_index.go:15-43,
 pkg/core/collection.go:98-117, see SURVEY.md §3.2). Here a collection owns
 exactly one store: a host-authoritative numpy mirror (for persistence and
 growth) plus a lazily-synced device view — ``vectors f32[cap, d]`` padded to a
-power-of-two capacity with a ``valid`` occupancy mask (deletes are cleared
+{2^k, 3*2^(k-1)} ladder capacity with a ``valid`` occupancy mask (deletes are cleared
 bits, the analogue of the reference's tombstones, pkg/hnsw/hnsw.go:741-842),
 and precomputed row stats so cosine/L2 scans skip the norm pass.
 
@@ -35,6 +35,18 @@ def _next_pow2(n: int) -> int:
     while c < n:
         c *= 2
     return c
+
+
+def _next_cap(n: int) -> int:
+    """Capacity ladder {2^k, 3*2^(k-1)}: static shapes for XLA (at most
+    ~2x the compiled program families of a pure pow2 ladder) with padding
+    waste capped at 25% instead of 100% — at 10M x 128-d f32 the pure
+    pow2 ladder padded to 16.78M rows, 3.2 GiB of dead HBM that directly
+    lowered max-N-per-chip (measured in benches/bench_10m.py's device
+    audit)."""
+    p = _next_pow2(n)
+    three_q = 3 * (p // 4)
+    return three_q if three_q >= n else p
 
 
 @dataclass(frozen=True)
@@ -78,7 +90,7 @@ class VectorStore:
         self.dim = int(dim)
         self.metric = DistanceType.parse(metric)
         self._lock = threading.RLock()
-        cap = _next_pow2(capacity)
+        cap = _next_cap(capacity)
         self._np_vectors = np.zeros((cap, dim), dtype=np.float32)
         self._np_valid = np.zeros((cap,), dtype=bool)
         self._ids: list[Optional[str]] = [None] * cap
@@ -149,7 +161,7 @@ class VectorStore:
         return np.asarray(slots, dtype=np.int64)
 
     def _grow(self, needed: int) -> None:
-        new_cap = _next_pow2(needed)
+        new_cap = _next_cap(needed)
         old_cap = self.capacity
         grown = np.zeros((new_cap, self.dim), dtype=np.float32)
         grown[:old_cap] = self._np_vectors

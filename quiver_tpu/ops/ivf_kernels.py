@@ -47,9 +47,13 @@ def _lloyd_iters(x, centroids, valid, n_iters: int):
     n, d = x.shape
     k = centroids.shape[0]
     ones = jnp.where(valid, 1.0, 0.0)
-    # row block: <= 256 MB of scores
+    # row block: <= 256 MB of scores. Floor to a pow2 first: capacity is a
+    # {2^k, 3*2^(k-1)} ladder rung, so any pow2 <= 2^(k-1) divides it —
+    # halving a non-pow2 budget (e.g. (1<<26)//K for non-pow2 K) otherwise
+    # degenerates to bs=2 and a 100k-step sequential scan.
     bs = max(1, min(n, (1 << 26) // max(k, 1)))
-    while n % bs != 0:  # n is pow2-padded by the store; keep bs a divisor
+    bs = 1 << (bs.bit_length() - 1)
+    while n % bs != 0:
         bs //= 2
     xb = x.reshape(n // bs, bs, d)
 

@@ -16,6 +16,7 @@ pkg/hybrid/hybrid_index.go:516-570).
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -143,7 +144,13 @@ def flat_scan_topk(
     B = q.shape[0]
     cap, d = vectors.shape
     if cap % tile != 0:
-        raise ValueError(f"capacity {cap} not a multiple of tile {tile}")
+        # capacity follows the store's {2^k, 3*2^(k-1)} ladder; a pow2
+        # tile request snaps down to gcd(cap, tile) — a pow2 within 2x of
+        # the request for any ladder rung (tile is static, so this is
+        # trace-time arithmetic, not device work)
+        tile = math.gcd(cap, tile)
+        if tile < 1:
+            raise ValueError(f"capacity {cap} not tileable at {tile}")
     n_tiles = cap // tile
     k = min(k, cap)
 
