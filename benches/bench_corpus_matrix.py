@@ -80,6 +80,7 @@ FAMILIES = [
 def main():
     from benches.truth import exact_truth_f64, recall_with_ties
     from quiver_tpu.core.store import VectorStore
+    from quiver_tpu.index.hybrid import AdaptiveConfig, HybridIndex
     from quiver_tpu.index.ivf import IVFConfig, IVFIndex
 
     import zlib
@@ -104,14 +105,35 @@ def main():
         recall = recall_with_ties(
             np.asarray(got), queries, vecs, d10, K_TOP)
         emit(
-            f"corpus-matrix {name} N={N}", recall, "recall@10",
+            f"corpus-matrix {name} N={N} [ivf]", recall, "recall@10",
             tuned_n_probe=eng.config.n_probe,
             tuner_holdout=round(eng._tuned_recall or -1, 4),
             holdout_gap=round((eng._tuned_recall or 0) - recall, 4),
             n_clusters=eng.n_clusters,
+            recall_shortfall=bool(eng.recall_shortfall),
             meets_target=bool(recall >= TARGET),
         )
-        del eng, store, vecs
+
+        # the product surface: hybrid `auto` — the recall-aware route
+        # (IVF at its tuned n_probe, or exact when the tuner measured a
+        # shortfall at the probe ceiling). Injects the already-built
+        # engine so the row measures routing, not a second build.
+        hyb = HybridIndex(
+            store,
+            adaptive_config=AdaptiveConfig(exploration_factor=0.0),
+            ann_factory=lambda s: eng,
+        )
+        hyb._graph_built = True
+        _, got_h = hyb.search_slots(queries, K_TOP)
+        recall_h = recall_with_ties(
+            np.asarray(got_h), queries, vecs, d10, K_TOP)
+        emit(
+            f"corpus-matrix {name} N={N} [hybrid auto]", recall_h,
+            "recall@10",
+            engine=hyb.last_strategy,
+            meets_target=bool(recall_h >= TARGET),
+        )
+        del eng, hyb, store, vecs
         import gc
 
         import jax

@@ -339,6 +339,12 @@ class HybridIndex:
         if strategy is None:
             if exact or mask is not None:
                 strategy = EXACT
+            elif getattr(self.ann, "recall_shortfall", False):
+                # the ANN engine's recall-target tuner measured itself short
+                # of target even at its probe ceiling (uniform / heavy-tail
+                # corpora defeat IVF pruning — benches/bench_corpus_matrix.py);
+                # serve exact rather than exploring a known-bad engine
+                strategy = EXACT
             elif q.shape[0] > 1:
                 # per-query strategy within the batch (reference
                 # hybrid_index.go:702-795): exploration draws can send a

@@ -515,15 +515,21 @@ class IVFIndex:
                 * base.std(axis=0, keepdims=True)
                 * rng.standard_normal(base.shape)
             ).astype(np.float32)
-            _, truth = ExactIndex(self.store).search_slots(q, k)
-            truth = np.asarray(truth)
-            # tie threshold: true f64 distance of the oracle's k-th row
-            d_true = self._host_dist_f64(q, truth)
-            kth = np.where(
-                (truth >= 0).any(axis=1),
-                np.max(np.where(truth >= 0, d_true, -np.inf), axis=1),
-                np.inf,
-            )
+            # oracle: device exact f32 top-(4k) re-scored in f64 — the f32
+            # scan can rank a near-tie wrong, and taking the k-th of ITS
+            # top-k inflates the tie threshold (measured: holdout read
+            # 1.6-5.9 pts above realized recall on the corpus-robustness
+            # matrix, benches/bench_corpus_matrix.py, 2026-08-20). The k-th
+            # of the f64-rescored deeper set is the true k-th distance.
+            deep = min(max(4 * k, k + 32), len(rows))
+            _, cand = ExactIndex(self.store).search_slots(q, deep)
+            cand = np.asarray(cand)
+            d_cand = self._host_dist_f64(q, cand)  # +inf for -1 slots
+            order = np.argsort(d_cand, axis=1)
+            d_sorted = np.take_along_axis(d_cand, order, axis=1)
+            truth = np.take_along_axis(cand, order, axis=1)[:, :k]
+            kth = d_sorted[:, k - 1]  # finite: the tuner gate requires
+            # len(rows) >= 32*k >= deep live rows
             thr = kth * (1 + 1e-6) + 1e-12
 
             def tie_recall(got: np.ndarray) -> float:
@@ -550,6 +556,21 @@ class IVFIndex:
             self._tuned_n_probe = p
             self._tuned_recall = float(hit)
             return p
+
+    @property
+    def recall_shortfall(self) -> bool:
+        """True when the recall-target tuner escalated to ``n_probe_max``
+        and still measured short of ``config.recall_target`` (by more than
+        half a point) — the corpus geometry defeats IVF pruning (uniform /
+        heavy-tailed corpora: benches/bench_corpus_matrix.py). The hybrid
+        layer routes such corpora to the exact engine; IVF alone keeps
+        serving at its measured ceiling."""
+        t = self.config.recall_target
+        return (
+            t is not None
+            and self._tuned_recall is not None
+            and self._tuned_recall < t - 0.005
+        )
 
     def _host_dist_f64(self, q: np.ndarray, slots: np.ndarray) -> np.ndarray:
         """True f64 distances d(q[b], store[slots[b, j]]) -> f64[S, k],

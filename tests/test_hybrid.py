@@ -280,3 +280,35 @@ def test_default_ann_backend_resolves_to_ivf():
     store2 = VectorStore(dim=dim, metric="euclidean")
     idx2 = HybridIndex(store2, build_batch=128)
     assert idx2.ann_backend == "hnsw"
+
+
+def test_recall_shortfall_routes_to_exact():
+    """An ANN engine whose recall-target tuner measured itself short of
+    target at the probe ceiling is bypassed: hybrid `auto` serves exact
+    (the uniform/heavy-tail corpus-robustness families,
+    benches/bench_corpus_matrix.py)."""
+    from quiver_tpu.index.ivf import IVFConfig, IVFIndex
+
+    rng = np.random.default_rng(11)
+    n, dim, k = 4096, 32, 5
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)  # uniform: no structure
+    store = VectorStore(dim=dim, metric="euclidean", capacity=n)
+    store.add_batch([f"v{i}" for i in range(n)], vecs)
+    eng = IVFIndex(store, config=IVFConfig(
+        n_probe=1, n_probe_max=2, recall_target=0.99, build_threshold=512))
+    eng.build()
+    assert eng.recall_shortfall  # 2 probes can't reach 0.99 on uniform data
+    idx = HybridIndex(
+        store,
+        adaptive_config=no_explore(initial_exact_threshold=100),
+        ann_factory=lambda s: eng,
+    )
+    idx._graph_built = True
+    _, s = idx.search_slots(vecs[:16], k)
+    assert idx.last_strategy == EXACT
+    assert (s[:, 0] == np.arange(16)).all()  # exact: perfect self-recall
+    # a healthy tuner outcome keeps the ANN route
+    eng._tuned_recall = 1.0
+    assert not eng.recall_shortfall
+    _, _ = idx.search_slots(vecs[:16], k)
+    assert idx.last_strategy == "ivf"
