@@ -39,14 +39,29 @@ class ExactIndex:
         tile: int = 8192,
         compute_dtype=jnp.float32,
         approx_recall: float | None = None,
+        precision: str | None = "auto",
     ):
         """approx_recall=None gives guaranteed-exact top-k (the oracle path);
         a float in (0, 1] switches to the TPU-native approx_max_k partial
-        reduce at that recall target (~2x faster at corpus scale)."""
+        reduce at that recall target (~2x faster at corpus scale).
+
+        precision="auto" resolves to "highest" (true-f32 MXU passes) on the
+        oracle path — at DEFAULT precision the TPU runs f32 matmuls as one
+        bf16 pass, which degraded "exact" ranking to 0.926 recall@10 on the
+        heavy-tail corpus family (benches/bench_corpus_matrix.py,
+        2026-08-20) — and to None (DEFAULT) when the caller opted into
+        approximation (bf16 corpus or approx_recall)."""
         self.store = store
         self.tile = tile
         self.compute_dtype = compute_dtype
         self.approx_recall = approx_recall
+        if precision == "auto":
+            precision = (
+                "highest"
+                if compute_dtype == jnp.float32 and approx_recall is None
+                else None
+            )
+        self.precision = precision
         # bf16-resident corpus cache for the fast path (halves the HBM read
         # vs casting f32 rows inside the kernel); keyed by store generation
         self._v16 = None
@@ -124,6 +139,7 @@ class ExactIndex:
             tile=tile,
             compute_dtype=self.compute_dtype,
             approx_recall=self.approx_recall,
+            precision=self.precision,
         )
         if negative is not None:
             neg_np = np.asarray(negative, dtype=np.float32)

@@ -62,6 +62,7 @@ def pairwise_distance(
     v_norms_sq: jax.Array | None = None,
     v_inv_norms: jax.Array | None = None,
     compute_dtype=jnp.float32,
+    precision=None,
 ) -> jax.Array:
     """Distances between every query row and every vector row.
 
@@ -73,6 +74,12 @@ def pairwise_distance(
         (amortized across queries by the column store).
       compute_dtype: matmul input dtype — jnp.float32 for exactness,
         jnp.bfloat16 for the fast path (accumulation is always f32).
+      precision: matmul precision. None (DEFAULT) lets the TPU MXU run f32
+        inputs as ONE bf16 pass — fine for ranking in the approximate
+        engines, but it silently degrades the "exact" contract to bf16
+        ranking noise (measured: exact recall@10 0.926 on the heavy-tail
+        corpus family, benches/bench_corpus_matrix.py 2026-08-20).
+        "highest" forces true-f32 multiplies for the oracle/exact paths.
 
     Returns:
       f32[B, N] distances (smaller is better).
@@ -92,6 +99,7 @@ def pairwise_distance(
         q.astype(compute_dtype),
         v.astype(compute_dtype).T,
         preferred_element_type=jnp.float32,
+        precision=precision,
     )  # [B, N] on the MXU
 
     if metric == DistanceType.DOT_PRODUCT:
@@ -123,15 +131,19 @@ def distance_pairs(a: jax.Array, b: jax.Array, metric: DistanceType) -> jax.Arra
     b = b.astype(jnp.float32)
     if metric == DistanceType.MANHATTAN:
         return jnp.sum(jnp.abs(a - b), axis=-1)
-    dots = jnp.sum(a * b, axis=-1)
-    if metric == DistanceType.DOT_PRODUCT:
-        return 1.0 - dots
-    if metric == DistanceType.COSINE:
+    if metric in (DistanceType.DOT_PRODUCT, DistanceType.COSINE):
+        dots = jnp.sum(a * b, axis=-1)
+        if metric == DistanceType.DOT_PRODUCT:
+            return 1.0 - dots
         ia = inv_norms(norms_sq(a))
         ib = inv_norms(norms_sq(b))
         sim = jnp.clip(dots * ia * ib, -1.0, 1.0)
         return 1.0 - sim
-    d2 = jnp.maximum(norms_sq(a) + norms_sq(b) - 2.0 * dots, 0.0)
+    # euclidean family: direct (a-b)^2 form — the affine ||a||^2+||b||^2-2ab
+    # cancels catastrophically for near pairs (error ~ eps*||a||^2 vs the
+    # direct form's eps*d^2), and this pass is the winners' TRUE distance
+    diff = a - b
+    d2 = jnp.sum(diff * diff, axis=-1)
     if metric == DistanceType.SQUARED_EUCLIDEAN:
         return d2
     return jnp.sqrt(d2)

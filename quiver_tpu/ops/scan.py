@@ -73,7 +73,8 @@ def _topk_largest(score, k: int, approx_recall: float | None):
 NEG_BIG = jnp.float32(-3.0e38)
 
 
-def _affine_scores(q, v, metric, v_norms_sq, v_inv_norms, compute_dtype):
+def _affine_scores(q, v, metric, v_norms_sq, v_inv_norms, compute_dtype,
+                   precision=None):
     """Monotonic larger-is-better scores: ONE matmul + one fused affine.
 
     Ranking never needs the full distance — per-row constants (||q||, 1/||q||)
@@ -84,6 +85,7 @@ def _affine_scores(q, v, metric, v_norms_sq, v_inv_norms, compute_dtype):
         q.astype(compute_dtype),
         v.astype(compute_dtype).T,
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
     if metric == DistanceType.COSINE:
         return dots * v_inv_norms[None, :]  # q_inv > 0 is per-row constant
@@ -104,7 +106,9 @@ def _rescore_winners(q, vectors, idx, metric):
 
 @partial(
     jax.jit,
-    static_argnames=("metric", "k", "tile", "compute_dtype", "approx_recall"),
+    static_argnames=(
+        "metric", "k", "tile", "compute_dtype", "approx_recall", "precision",
+    ),
 )
 def flat_scan_topk(
     q: jax.Array,
@@ -119,6 +123,7 @@ def flat_scan_topk(
     tile: int = 8192,
     compute_dtype=jnp.float32,
     approx_recall: float | None = None,
+    precision: str | None = None,
 ):
     """Exact top-k scan.
 
@@ -135,6 +140,10 @@ def flat_scan_topk(
       k: static result count.
       tile: static tile size; cap must be a multiple (store pads capacity).
       compute_dtype: jnp.float32 | jnp.bfloat16 matmul input dtype.
+      precision: matmul precision ("highest" = true-f32 MXU passes for the
+        guaranteed-exact contract; None = DEFAULT, which on TPU runs f32
+        inputs as one bf16 pass — fine when ranking is allowed to be
+        approximate). See ops/distance.pairwise_distance.
 
     Returns:
       (dist f32[B, k], idx i32[B, k]); empty slots have idx == -1 and
@@ -161,7 +170,8 @@ def flat_scan_topk(
         # Single-shot: one matmul + one fused affine score + top-k; true
         # distances reconstructed for the winners only.
         score = _affine_scores(
-            q, vectors, metric, v_norms_sq, v_inv_norms, compute_dtype
+            q, vectors, metric, v_norms_sq, v_inv_norms, compute_dtype,
+            precision,
         )
         keep = valid[None, :]
         if mask is not None:
@@ -186,6 +196,7 @@ def flat_scan_topk(
             v_norms_sq=v_norms_sq,
             v_inv_norms=v_inv_norms,
             compute_dtype=compute_dtype,
+            precision=precision,
         )
         keep = valid[None, :]
         if mask is not None:
@@ -218,12 +229,14 @@ def flat_scan_topk(
         if use_affine:
             # larger-is-better affine score; carry merges on NEGATED score
             # so the generic smallest-k merge applies
-            score = _affine_scores(q, v_t, metric, ns_t, in_t, compute_dtype)
+            score = _affine_scores(
+                q, v_t, metric, ns_t, in_t, compute_dtype, precision
+            )
             key = -score
         else:
             key = pairwise_distance(
                 q, v_t, metric, v_norms_sq=ns_t, v_inv_norms=in_t,
-                compute_dtype=compute_dtype,
+                compute_dtype=compute_dtype, precision=precision,
             )
         keep = valid_t[None, :]
         if mask is not None:

@@ -49,7 +49,10 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "metric", "k", "tile", "compute_dtype", "approx_recall"),
+    static_argnames=(
+        "mesh", "metric", "k", "tile", "compute_dtype", "approx_recall",
+        "precision",
+    ),
 )
 def sharded_scan_topk(
     queries: jax.Array,  # f32[B, d] (replicated)
@@ -65,6 +68,7 @@ def sharded_scan_topk(
     tile: int = 8192,
     compute_dtype=jnp.float32,
     approx_recall: float | None = None,
+    precision: str | None = None,
 ):
     """SPMD exact scan: per-shard fused top-k, then all_gather + re-top-k.
 
@@ -98,6 +102,7 @@ def sharded_scan_topk(
             q, v, va, m if has_mask else None, ns, inv,
             metric=metric, k=kk, tile=local_tile,
             compute_dtype=compute_dtype, approx_recall=approx_recall,
+            precision=precision,
         )
         i_glob = jnp.where(i_loc >= 0, i_loc + shard * local_rows, -1)
         # ICI merge: gather every shard's top-k, re-reduce to global top-k
@@ -213,12 +218,21 @@ class ShardedExactIndex:
         tile: int = 8192,
         compute_dtype=jnp.float32,
         approx_recall: float | None = None,
+        precision: str | None = "auto",
     ):
         self.store = store
         self.mesh = mesh or make_mesh()
         self.tile = tile
         self.compute_dtype = compute_dtype
         self.approx_recall = approx_recall
+        if precision == "auto":
+            # same exact-contract resolution as index/exact.ExactIndex
+            precision = (
+                "highest"
+                if compute_dtype == jnp.float32 and approx_recall is None
+                else None
+            )
+        self.precision = precision
         self._cursor = None
         self._sharded = None
         self._scatter = _sharded_scatter_fn(self.mesh)
@@ -295,7 +309,7 @@ class ShardedExactIndex:
             qd, vectors, valid, mask_dev, ns, inv,
             mesh=self.mesh, metric=self.store.metric.value, k=retrieve_k,
             tile=self.tile, compute_dtype=self.compute_dtype,
-            approx_recall=self.approx_recall,
+            approx_recall=self.approx_recall, precision=self.precision,
         )
         if negative is not None:
             neg = jnp.asarray(np.asarray(negative, np.float32))
