@@ -22,6 +22,8 @@ jitter, tie-aware recall vs an exact f64 oracle — benches/truth.py):
                  IVF pruning — centroids carry no information)
 """
 
+import os
+
 import numpy as np
 
 from benches.common import emit, env_int
@@ -75,6 +77,13 @@ FAMILIES = [
     ("near-dup", family_near_dup),
     ("uniform", family_uniform),
 ]
+
+# comma list to re-run a subset after an engine change without paying the
+# other families' builds (mirrors bench_streaming's QUIVER_BENCH_ENGINES)
+_SEL = os.environ.get("QUIVER_BENCH_FAMILIES")
+if _SEL:
+    keep = {s.strip() for s in _SEL.split(",")}
+    FAMILIES = [f for f in FAMILIES if f[0] in keep]
 
 
 def main():

@@ -548,19 +548,56 @@ class IVFIndex:
             # upper-bounds engine recall, so start here and verify up)
             picks = np.flatnonzero(est >= target)
             p = int(picks[0]) + 1 if len(picks) else p_max
+            history: list[tuple[int, float, float]] = []
             while True:
                 self.config.n_probe = p
                 _, got = self.search_slots(q, k)
                 hit, err = tie_recall(np.asarray(got))
+                history.append((p, hit, err))
                 # accept only when the holdout LOWER bound (1 stderr) meets
                 # target: a sample mean a hair over target passes configs
                 # that realize under it (measured: near-dup family holdout
                 # 0.9512 -> realized 0.948, bench_corpus_matrix 2026-08-20)
                 if hit - err >= target or p >= p_max:
-                    # an unreachable target keeps the ceiling (the best
-                    # recall available); _tuned_recall records the shortfall
+                    break
+                if (
+                    len(history) >= 2
+                    and hit - history[-2][1] < max(0.5 * err, 1e-3)
+                ):
+                    # probe plateau: an escalation step that bought less
+                    # than half a stderr will not reach target by probing
+                    # more — the cap is elsewhere (scoring noise, pair-cap
+                    # drops). Measured: the near-dup family sat at holdout
+                    # 0.9512 from n_probe=9 all the way to the ceiling 64,
+                    # serving 7x the probe work for nothing.
                     break
                 p = min(p_max, max(p + 1, int(np.ceil(p * 1.5))))
+            # serve the CHEAPEST measured probe count that met target, or —
+            # when none did — the cheapest within half a stderr of the best
+            # (a plateau walk should not install its last, priciest step)
+            ok = [t for t in history if t[1] - t[2] >= target]
+            if ok:
+                p, hit, err = min(ok, key=lambda t: t[0])
+            else:
+                best_hit = max(h for _, h, _ in history)
+                p, hit, err = min(
+                    (t for t in history if t[1] >= best_hit - 0.5 * t[2]),
+                    key=lambda t: t[0],
+                )
+            if hit - err < target and not self.config.rescore:
+                # second tuning axis: exact f32 rescore of the survivor set
+                # (IVFConfig.rescore) — bf16 block scoring caps recall on
+                # near-duplicate-heavy corpora no matter the probe count
+                # (rows ~1e-4 apart misrank under bf16's ~4e-3 noise);
+                # rescore re-ranks survivors in f32 for ~6% QPS
+                self.config.n_probe = p
+                self.config.rescore = True
+                _, got = self.search_slots(q, k)
+                hit2, err2 = tie_recall(np.asarray(got))
+                if hit2 - err2 >= target or hit2 - hit >= 0.005:
+                    hit, err = hit2, err2
+                else:
+                    self.config.rescore = False
             self.config.n_probe = p
             self._tuned_n_probe = p
             self._tuned_recall = float(hit)

@@ -685,3 +685,33 @@ def test_layout_dev_multichunk_overlap_matches_oracle():
     np.testing.assert_allclose(np.asarray(rns), rns_o, atol=1e-4)
     assert abs(float(acc) - acc_o) < 1e-2
     np.testing.assert_array_equal(np.asarray(keep), bs >= 0)
+
+
+def test_ivf_tuner_escalates_to_rescore_on_scoring_noise():
+    """Near-duplicate-heavy corpora cap plain (score-derived) recall via
+    bf16 block noise regardless of probe count; the tuner's second axis
+    flips IVFConfig.rescore (exact f32 re-rank of survivors) instead of
+    walking the probe ladder to the ceiling for nothing
+    (benches/bench_corpus_matrix.py near-dup family, 2026-08-20)."""
+    rng = np.random.default_rng(0)
+    n_base = 3000
+    centers = rng.normal(size=(40, D)).astype(np.float32)
+    base = (centers[rng.integers(0, 40, n_base)]
+            + 0.15 * rng.normal(size=(n_base, D))).astype(np.float32)
+    dups = (base[rng.integers(0, n_base, 3000)]
+            + 1e-4 * rng.normal(size=(3000, D))).astype(np.float32)
+    vecs = np.concatenate([base, dups]).astype(np.float32)
+    store = VectorStore(dim=D, metric="euclidean")
+    slots = store.add_batch([f"v{i}" for i in range(len(vecs))], vecs)
+    eng = IVFIndex(store, config=IVFConfig(
+        n_probe=1, build_threshold=256, rescore=False,
+        recall_target=0.98, n_probe_max=32))
+    eng.on_insert(slots, vecs)
+    assert eng.config.rescore  # tuner installed the second axis
+    assert eng._tuned_recall >= 0.98
+    # the probe pick stays parsimonious: the plateau walk must not have
+    # installed its ceiling (measured plateau on this corpus is ~p<=16)
+    assert eng.config.n_probe < 32
+    # and the engine serves at the tuned config: fresh jittered queries
+    q = (vecs[:64] + 0.05 * rng.standard_normal((64, D))).astype(np.float32)
+    assert recall_vs_oracle(store, eng, q) >= 0.9
