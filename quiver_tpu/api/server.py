@@ -283,11 +283,15 @@ class Server:
         dim = body.get("dimension")
         if not name or not isinstance(dim, int) or dim <= 0:
             return _json_error(400, "name and positive integer dimension required")
+        engine_config = body.get("engine_config")
+        if engine_config is not None and not isinstance(engine_config, dict):
+            return _json_error(400, "engine_config must be an object")
         coll = self.db.create_collection(
             name,
             dim,
             body.get("distance_function", "cosine"),
             engine=body.get("engine"),
+            engine_config=engine_config,
             facet_fields=body.get("facet_fields", ()),
         )
         return web.json_response(

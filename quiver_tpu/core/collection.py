@@ -98,6 +98,9 @@ class Collection:
         #: same engine (reference persists the analogous config —
         #: db.go:380-397)
         self.engine_kind = ""
+        #: JSON-safe per-collection engine knobs (set by the DB layer,
+        #: persisted next to engine_kind)
+        self.engine_config_json: dict = {}
         self._lock = threading.RLock()
         self._write_listeners: list[Callable[[str], None]] = []
         #: optional WAL sink (persistence.WalWriter) set by the DB layer;

@@ -20,7 +20,7 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 
 from quiver_tpu.core.collection import Collection
-from quiver_tpu.index import make_engine
+from quiver_tpu.index import make_engine, resolve_engine_config
 from quiver_tpu.observability import logging as qlog
 from quiver_tpu.observability.metrics import global_metrics
 from quiver_tpu.persistence.manager import CollectionConfig, PersistenceManager
@@ -99,8 +99,12 @@ class DB:
     def _compute_dtype(self):
         return jnp.bfloat16 if self.options.compute_dtype == "bfloat16" else jnp.float32
 
-    def _engine_factory(self, engine: str):
+    def _engine_factory(self, engine: str, engine_config: Optional[dict] = None):
         cfg = dict(self.options.engine_config)
+        if engine_config:
+            # per-collection JSON knobs (REST create / persisted config)
+            # override the DB-wide defaults
+            cfg.update(resolve_engine_config(engine, engine_config))
         cfg.setdefault("compute_dtype", self._compute_dtype())
         return lambda store: make_engine(engine, store, **cfg)
 
@@ -111,9 +115,14 @@ class DB:
         metric: DistanceType | str = DistanceType.COSINE,
         *,
         engine: Optional[str] = None,
+        engine_config: Optional[dict] = None,
         facet_fields: Sequence[str] = (),
     ) -> Collection:
-        """(reference CreateCollection, db.go:293-403)."""
+        """(reference CreateCollection, db.go:293-403). ``engine_config``
+        is a JSON-safe per-collection knob dict — see
+        quiver_tpu.index.resolve_engine_config — persisted alongside the
+        engine kind so a reload reconstructs the same tuning (e.g.
+        ``{"ivf": {"recall_target": 0.95}}``)."""
         with self._lock:
             if name in self._collections:
                 raise ValueError(f"collection {name!r} already exists")
@@ -123,9 +132,10 @@ class DB:
                 dim,
                 metric,
                 facet_fields=facet_fields,
-                engine_factory=self._engine_factory(engine),
+                engine_factory=self._engine_factory(engine, engine_config),
             )
             coll.engine_kind = engine
+            coll.engine_config_json = dict(engine_config or {})
             self._register(coll)
             if self.persistence:
                 self.persistence.save_config(
@@ -136,6 +146,7 @@ class DB:
                         created_at=coll.created_at,
                         facet_fields=list(facet_fields),
                         engine=engine,
+                        engine_config=dict(engine_config or {}),
                     )
                 )
             return coll
@@ -183,9 +194,12 @@ class DB:
                     cfg.dimension,
                     DistanceType.parse(cfg.distance_func),
                     facet_fields=cfg.facet_fields,
-                    engine_factory=self._engine_factory(engine_kind),
+                    engine_factory=self._engine_factory(
+                        engine_kind, cfg.engine_config
+                    ),
                 )
                 coll.engine_kind = engine_kind
+                coll.engine_config_json = dict(cfg.engine_config or {})
                 coll.created_at = cfg.created_at
                 ids, vectors, metadatas = self.persistence.load_collection_data(name)
                 rebuilt = False

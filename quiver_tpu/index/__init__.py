@@ -22,6 +22,76 @@ def register_engine(name: str, factory) -> None:
     _ENGINES[name] = factory
 
 
+#: namespaces a JSON engine_config may use (REST/persisted per-collection
+#: config); each maps to the corresponding typed config dataclass
+_CONFIG_NAMESPACES = ("ivf", "hnsw", "adaptive")
+
+
+def resolve_engine_config(kind: str, jcfg: dict | None) -> dict:
+    """Translate a JSON-safe per-collection engine config into constructor
+    kwargs for ``make_engine``.
+
+    Accepted shape: ``{"ivf": {...IVFConfig fields...}, "hnsw":
+    {...HNSWConfig fields...}, "adaptive": {...AdaptiveConfig fields...},
+    <flat knob>: <scalar>, ...}`` — namespaced blocks configure the matching
+    engine side (required for hybrid, whose ctor routes them to
+    ivf_config / hnsw_config / adaptive_config); flat keys pass straight to
+    the engine constructor (exact/ivf/hnsw config-override kwargs). Raises
+    ValueError on unknown fields so the REST layer maps them to 400, not a
+    500 from a dataclass TypeError. (The reference persists only the
+    distance name, db.go:380-397 — per-collection engine config is part of
+    the rebuild's tuner surface, e.g. ``{"ivf": {"recall_target": 0.95}}``.)
+    """
+    jcfg = dict(jcfg or {})
+    ns = {
+        k: jcfg.pop(k)
+        for k in _CONFIG_NAMESPACES
+        if isinstance(jcfg.get(k), dict)
+    }
+    base = kind.removeprefix("sharded_")
+    out: dict = {}
+    try:
+        if base == "hybrid":
+            if jcfg:
+                raise ValueError(
+                    f"hybrid engine_config keys must be namespaced "
+                    f"({'/'.join(_CONFIG_NAMESPACES)}); got {sorted(jcfg)}"
+                )
+            if "ivf" in ns:
+                from quiver_tpu.index.ivf import IVFConfig
+
+                out["ivf_config"] = IVFConfig(**ns["ivf"])
+            if "hnsw" in ns:
+                from quiver_tpu.index.hnsw import HNSWConfig
+
+                out["hnsw_config"] = HNSWConfig(**ns["hnsw"])
+                out["ann_backend"] = "hnsw"
+            if "adaptive" in ns:
+                from quiver_tpu.index.hybrid import AdaptiveConfig
+
+                out["adaptive_config"] = AdaptiveConfig(**ns["adaptive"])
+        else:
+            stray = [k for k in ns if k != base]
+            if stray:
+                raise ValueError(
+                    f"engine_config namespaces {stray} do not apply to "
+                    f"engine {kind!r}"
+                )
+            out.update(ns.get(base, {}))
+            out.update(jcfg)
+            if base == "ivf":
+                from quiver_tpu.index.ivf import IVFConfig
+
+                out = {"config": IVFConfig(**out)} if out else {}
+            elif base == "hnsw":
+                from quiver_tpu.index.hnsw import HNSWConfig
+
+                out = {"config": HNSWConfig(**out)} if out else {}
+    except TypeError as e:  # unknown dataclass field
+        raise ValueError(f"invalid engine_config for {kind!r}: {e}") from e
+    return out
+
+
 def make_engine(kind: str, store, **cfg):
     """Build an engine over a VectorStore. kinds: exact | hnsw | hybrid."""
     if kind in _ENGINES:

@@ -59,6 +59,10 @@ class CollectionConfig:
     #: without this a collection created with engine="hnsw" silently
     #: reloads as the DB default.
     engine: str = ""
+    #: JSON-safe per-collection engine knobs (quiver_tpu.index.
+    #: resolve_engine_config shape) — persisted so a reload reconstructs
+    #: the same tuning, e.g. {"ivf": {"recall_target": 0.95}}
+    engine_config: dict = field(default_factory=dict)
     version: int = CONFIG_VERSION
 
     def to_json(self) -> bytes:
@@ -74,6 +78,7 @@ class CollectionConfig:
             created_at=d.get("created_at", time.time()),
             facet_fields=d.get("facet_fields", []),
             engine=d.get("engine", ""),
+            engine_config=d.get("engine_config", {}) or {},
             version=d.get("version", CONFIG_VERSION),
         )
 
@@ -374,6 +379,7 @@ class PersistenceManager:
                 created_at=collection.created_at,
                 facet_fields=collection.get_facet_fields(),
                 engine=getattr(collection, "engine_kind", ""),
+                engine_config=getattr(collection, "engine_config_json", {}),
             )
         )
         self._write_topology(topo, cdir)

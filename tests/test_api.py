@@ -371,3 +371,48 @@ def test_search_backlog_shed(tmp_path):
             assert "retry" in r.json()["error"]
     finally:
         st.stop()
+
+
+def test_engine_config_create_and_validation(api):
+    # per-collection JSON engine knobs reach the engine (ivf flat knobs)
+    r = requests.post(f"{api}/api/v1/collections", json={
+        "name": "ec1", "dimension": D, "distance_function": "euclidean",
+        "engine": "ivf",
+        "engine_config": {"n_probe": 4, "build_threshold": 64},
+    })
+    assert r.status_code == 201, r.text
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(96, D)).astype(np.float32)
+    r = requests.post(f"{api}/api/v1/collections/ec1/vectors/batch", json={
+        "vectors": [{"id": f"e{i}", "vector": vecs[i].tolist()}
+                    for i in range(96)],
+    })
+    assert r.status_code == 201
+    r = requests.post(f"{api}/api/v1/collections/ec1/search", json={
+        "vector": vecs[7].tolist(), "top_k": 3,
+    })
+    assert r.status_code == 200
+    assert r.json()["results"][0]["id"] == "e7"
+    # unknown knob -> 400, not 500 (dataclass TypeError is translated)
+    r = requests.post(f"{api}/api/v1/collections", json={
+        "name": "ec2", "dimension": D, "engine": "ivf",
+        "engine_config": {"no_such_knob": 1},
+    })
+    assert r.status_code == 400, r.text
+    # non-object engine_config -> 400
+    r = requests.post(f"{api}/api/v1/collections", json={
+        "name": "ec3", "dimension": D, "engine_config": 5,
+    })
+    assert r.status_code == 400
+    # hybrid requires namespaced blocks
+    r = requests.post(f"{api}/api/v1/collections", json={
+        "name": "ec4", "dimension": D, "engine": "hybrid",
+        "engine_config": {"recall_target": 0.9},
+    })
+    assert r.status_code == 400
+    r = requests.post(f"{api}/api/v1/collections", json={
+        "name": "ec5", "dimension": D, "engine": "hybrid",
+        "engine_config": {"ivf": {"n_probe": 2, "build_threshold": 64},
+                          "adaptive": {"exploration_factor": 0.0}},
+    })
+    assert r.status_code == 201, r.text

@@ -117,3 +117,31 @@ def test_hybrid_engine_sidecar(tmp_path):
     _, slots = c2.engine.search_slots(vecs[:2], k=3, strategy="hnsw")
     assert all(c2.store.id_of(int(slots[b, 0])) == f"v{b}" for b in range(2))
     db2.close()
+
+
+def test_engine_config_persists_across_reload(tmp_path):
+    """Per-collection JSON engine knobs (create_collection engine_config)
+    are persisted in config.json and reapplied on load — a collection
+    tuned with {"ivf": {"recall_target": ...}} must not silently reload
+    at the DB-wide defaults."""
+    db = DB(opts(tmp_path, default_engine="exact", engine_config={}))
+    c = db.create_collection(
+        "t", D, "euclidean", engine="ivf",
+        engine_config={"ivf": {"n_probe": 4, "build_threshold": 64}},
+    )
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(128, D)).astype(np.float32)
+    c.add_batch([f"v{i}" for i in range(128)], vecs)
+    assert c.engine.config.n_probe == 4
+    assert c.engine.config.build_threshold == 64
+    db.close()
+
+    db2 = DB(opts(tmp_path, default_engine="exact", engine_config={}))
+    c2 = db2.get_collection("t")
+    assert c2.engine_kind == "ivf"
+    assert c2.engine.config.n_probe == 4
+    assert c2.engine.config.build_threshold == 64
+    assert c2.engine_config_json == {"ivf": {"n_probe": 4, "build_threshold": 64}}
+    res = c2.search(SearchRequest(vector=vecs[5], top_k=1))
+    assert res.results[0].id == "v5"
+    db2.close()
