@@ -134,18 +134,20 @@ def main():
     view = store.device_view()
     corpus16 = jnp.asarray(np.asarray(view.vectors), jnp.bfloat16)
     flops_scan = 2.0 * B * N * D
-    for name, corpus, cdtype, approx, corpus_bytes, depth in (
-        ("exact flat scan f32", view.vectors, jnp.float32, None,
-         N * D * 4, 4),
-        ("flat scan bf16+approx", corpus16, jnp.bfloat16, 0.95,
+    for name, corpus, cdtype, approx, prec, corpus_bytes, depth in (
+        ("exact flat scan f32 (default prec: 1 bf16 MXU pass)",
+         view.vectors, jnp.float32, None, None, N * D * 4, 4),
+        ("exact flat scan f32 (highest prec: the exact contract)",
+         view.vectors, jnp.float32, None, "highest", N * D * 4, 4),
+        ("flat scan bf16+approx", corpus16, jnp.bfloat16, 0.95, None,
          N * D * 2, 8),
     ):
-        def call(corpus=corpus, cdtype=cdtype, approx=approx):
+        def call(corpus=corpus, cdtype=cdtype, approx=approx, prec=prec):
             return flat_scan_topk(
                 qj, corpus, view.valid, None, view.norms_sq,
                 view.inv_norms, metric="euclidean", k=K_TOP,
                 tile=min(32768, N), compute_dtype=cdtype,
-                approx_recall=approx,
+                approx_recall=approx, precision=prec,
             )
         try:
             wall = pipelined_batch_s(call, depth=depth)
