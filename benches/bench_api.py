@@ -29,10 +29,17 @@ CONCURRENCY = (16, 64, 256)
 
 
 async def load_round(url, payloads, concurrency, n_requests):
+    """Drive n_requests single-search POSTs from `concurrency` well-behaved
+    clients. A 429 (load shed, VERDICT r4 #8) is honored: the client sleeps
+    the server's Retry-After (capped at 1 s for bench wall sanity) and
+    retries the same request — so `qps` counts completed searches and the
+    latency percentiles are the ADMITTED requests' service times, with the
+    shed rate reported alongside."""
     import aiohttp
 
     lat = []
     idx = {"i": 0}
+    shed = {"n": 0}
 
     async def worker(session):
         while True:
@@ -40,11 +47,20 @@ async def load_round(url, payloads, concurrency, n_requests):
             if i >= n_requests:
                 return
             idx["i"] = i + 1
-            t0 = time.perf_counter()
-            async with session.post(url, json=payloads[i % len(payloads)]) as r:
-                assert r.status == 200, await r.text()
-                await r.json()
-            lat.append((time.perf_counter() - t0) * 1e3)
+            payload = payloads[i % len(payloads)]
+            while True:
+                t0 = time.perf_counter()
+                async with session.post(url, json=payload) as r:
+                    if r.status == 429:
+                        shed["n"] += 1
+                        retry = float(r.headers.get("Retry-After", "1"))
+                        await r.read()
+                        await asyncio.sleep(min(retry, 1.0))
+                        continue
+                    assert r.status == 200, await r.text()
+                    await r.json()
+                lat.append((time.perf_counter() - t0) * 1e3)
+                break
 
     conn = aiohttp.TCPConnector(limit=concurrency)
     async with aiohttp.ClientSession(connector=conn) as session:
@@ -58,6 +74,7 @@ async def load_round(url, payloads, concurrency, n_requests):
         "p50_ms": lat[n // 2],
         "p95_ms": lat[min(n - 1, int(0.95 * n))],
         "p99_ms": lat[min(n - 1, int(0.99 * n))],
+        "shed": shed["n"],
     }
 
 
@@ -140,6 +157,31 @@ async def main_async():
                 p99_ms=round(st["p99_ms"], 2))
     finally:
         await server._runner.cleanup()
+
+    # load-shed axis (VERDICT r4 #8): past the ~64-client knee the
+    # measured failure mode was unbounded queueing (256-client p95 blew
+    # to 1.2-2.9 s of pure backlog). search_backlog bounds queued +
+    # in-flight per collection; since each client holds at most one
+    # outstanding request, depth <= clients — a 128 backlog actually
+    # triggers at 256 clients, while backlog=0 reproduces the old
+    # unbounded behavior as the control.
+    for backlog in (0, 128):
+        server = Server(db, ServerConfig(
+            host="127.0.0.1", port=PORT, enable_metrics_server=False,
+            search_backlog=backlog))
+        await server.start_async()
+        try:
+            await load_round(url, payloads, 16, 200)  # warm
+            st = await load_round(url, payloads, 256, REQUESTS)
+            emit(
+                f"api loopback search, 256 clients, backlog="
+                f"{backlog or 'off'} (1M IVF n_probe=3)",
+                st["qps"], "qps",
+                p50_ms=round(st["p50_ms"], 2), p95_ms=round(st["p95_ms"], 2),
+                p99_ms=round(st["p99_ms"], 2), shed_429=st["shed"],
+                shed_rate=round(st["shed"] / (st["shed"] + REQUESTS), 3))
+        finally:
+            await server._runner.cleanup()
     db.close()
 
 

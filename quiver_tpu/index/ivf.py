@@ -196,6 +196,70 @@ def _layout_dev(block_slot, vectors, norms_sq, cents, *, kc, cdtype):
     return bt, rns_all, inv_all, block_slot, block_slot >= 0, acc
 
 
+@functools.partial(
+    jax.jit, static_argnames=("kc", "cdtype"), donate_argnums=(0, 1, 2, 3)
+)
+def _layout_dev_chunk(
+    bt, rns_all, inv_all, acc, block_slot, cents, vectors, norms_sq,
+    start, uniq_from, *, kc, cdtype,
+):
+    """One kc-cluster chunk of :func:`_layout_dev`, as its own program —
+    same math as the fori_loop body, carries donated so the block tensor
+    updates in place across calls (no HBM doubling)."""
+    K, cmax = block_slot.shape
+    d = vectors.shape[1]
+    bs = jax.lax.dynamic_slice(block_slot, (start, 0), (kc, cmax))
+    cc = jax.lax.dynamic_slice(cents, (start, 0), (kc, d))
+    keep = bs >= 0
+    safe = jnp.maximum(bs, 0)
+    sv = vectors[safe]  # [kc, cmax, d]
+    resid = jnp.where(keep[..., None], sv - cc[:, None, :], 0.0)
+    rns = jnp.sum(resid * resid, axis=2)
+    ns = jnp.where(keep, norms_sq[safe], 0.0)
+    inv = jnp.where(ns > 0, jax.lax.rsqrt(jnp.maximum(ns, 1e-30)), 0.0)
+    uniq = (start + jnp.arange(kc)) >= uniq_from  # overlap counts once
+    bt = jax.lax.dynamic_update_slice(
+        bt, jnp.transpose(resid, (0, 2, 1)).astype(cdtype), (start, 0, 0)
+    )
+    rns_all = jax.lax.dynamic_update_slice(rns_all, rns, (start, 0))
+    inv_all = jax.lax.dynamic_update_slice(inv_all, inv, (start, 0))
+    return (
+        bt, rns_all, inv_all,
+        acc + jnp.sum(jnp.where(uniq[:, None], rns, 0.0)),
+    )
+
+
+def _layout_dev_paced(
+    block_slot, vectors, norms_sq, cents, *, kc, cdtype, pace
+):
+    """:func:`_layout_dev` as a host-driven loop of short chunk programs
+    with a real sync + cooperative yield between them (background
+    maintenance). The single fori_loop program occupies the chip for the
+    whole layout (seconds at 1M+), and every serving query dispatched
+    behind it eats that wall — bench_churn measured the QPS floor at 6x
+    below the mean across a rebuild window. Chunked, the worst query
+    stall is one chunk (~tens of ms) plus the pace sleep."""
+    K, cmax = block_slot.shape
+    d = vectors.shape[1]
+    kc = min(kc, K)
+    n_chunks = -(-K // kc)
+    bt = jnp.zeros((K, d, cmax), cdtype)
+    rns_all = jnp.zeros((K, cmax), jnp.float32)
+    inv_all = jnp.zeros((K, cmax), jnp.float32)
+    acc = jnp.zeros((), jnp.float32)
+    cents_j = jnp.asarray(cents)
+    for i in range(n_chunks):
+        start = min(i * kc, K - kc)
+        bt, rns_all, inv_all, acc = _layout_dev_chunk(
+            bt, rns_all, inv_all, acc, block_slot, cents_j, vectors,
+            norms_sq, jnp.int32(start), jnp.int32(i * kc),
+            kc=kc, cdtype=cdtype,
+        )
+        np.asarray(acc)  # tunnel-real sync: the chunk finished on device
+        pace()
+    return bt, rns_all, inv_all, block_slot, block_slot >= 0, acc
+
+
 @jax.jit
 def _nearest_centroid(v, cent, c_ns, live):
     """(argmax, max) of the affine nearest-centroid score 2 v.c - |c|^2,
@@ -295,6 +359,17 @@ class IVFConfig:
     #: calls stay synchronous. False = maintenance runs inline inside the
     #: triggering write call (deterministic; tests of the tier policy).
     background_maintenance: bool = True
+    #: cooperative yield between the background maintenance job's device
+    #: dispatches, in seconds. On one chip the staging rebuild COMPETES
+    #: with serving: its big programs (Lloyd iterations, the block-layout
+    #: gather) each occupy the device for seconds, and a query dispatched
+    #: behind one eats that wall (bench_churn 2026-08-21: QPS floor 6x
+    #: under the mean across the rebuild window). Staging engines run
+    #: those passes as short chunked programs and sleep this long between
+    #: them, bounding any serving query's stall to ~one chunk + the
+    #: sleep. 0 disables (maintenance runs flat-out; multi-chip
+    #: deployments that dedicate a chip to rebuilds want that).
+    maint_pace_s: float = 0.05
     #: auto-tune ``n_probe`` at build time to the smallest value whose
     #: measured recall@10 on a held-out jittered sample meets this target
     #: (None = keep the configured n_probe). The tuner first estimates the
@@ -385,6 +460,10 @@ class IVFIndex:
         # builds the next layout off-thread and _adopt() transplants it
         self._lock = threading.RLock()
         self._staging = False  # True on maintenance clones (inert triggers)
+        #: staging clones set this to config.maint_pace_s: heavy passes
+        #: run chunked with a sync + sleep between dispatches so serving
+        #: queries interleave (0 on serving engines — no-op)
+        self._pace_s = 0.0
         self._layout_gen = 0  # bumps on every installed layout
         self._maint_thread: Optional[threading.Thread] = None
         self._maint_pending: Optional[str] = None
@@ -444,6 +523,7 @@ class IVFIndex:
                 seed=c.seed,
                 vectors_dev=None if dev is None else dev.vectors,
                 valid_dev=None if dev is None else dev.valid,
+                pace=self._pace if self._pace_s else None,
             )
             # cap clusters by SPLITTING (extra local centroids), never by
             # spilling rows to far clusters — spill caps recall (~0.95 on
@@ -837,6 +917,7 @@ class IVFIndex:
             out[at: at + m] = np.asarray(a)[:m]
             if return_scores:
                 scores[at: at + m] = np.asarray(s)[:m]
+            self._pace()
         return (out, scores) if return_scores else out
 
     def _assign_nearest_slots(
@@ -868,6 +949,7 @@ class IVFIndex:
             )
             out[at: at + m] = np.asarray(a)[:m]
             scores[at: at + m] = np.asarray(sc)[:m]
+            self._pace()
         return out, scores
 
     def refresh(self) -> None:
@@ -1159,9 +1241,16 @@ class IVFIndex:
             compute_dtype=self.compute_dtype,
         )
 
+    def _pace(self) -> None:
+        """Cooperative yield between maintenance device dispatches (no-op
+        unless this engine is a staging clone with a configured pace)."""
+        if self._pace_s:
+            time.sleep(self._pace_s)
+
     def _make_staging(self, kind: str) -> "IVFIndex":
         eng = self._clone_for_maintenance()
         eng._staging = True
+        eng._pace_s = float(self.config.maint_pace_s or 0.0)
         if kind != "build":
             with self._lock:
                 # refresh reuses the trained centroids and layout geometry;
@@ -1190,12 +1279,19 @@ class IVFIndex:
         slots = slots[slots < eng.store.capacity]
         if not eng._built or not len(slots):
             return
-        vecs, valid = self.store.read_rows(slots)
-        with eng._lock:
-            eng._grow_maps()
-            eng._vacate_slots(slots)
-            if valid.any():
-                eng.on_insert(slots[valid], vecs[valid])
+        # chunked + paced: a catch-up delta can be a third of the corpus,
+        # and one on_insert over it dispatches proportionally large
+        # assign/scatter programs that stall concurrent serving queries
+        ch = 1 << 15
+        for at in range(0, len(slots), ch):
+            sl = slots[at: at + ch]
+            vecs, valid = self.store.read_rows(sl)
+            with eng._lock:
+                eng._grow_maps()
+                eng._vacate_slots(sl)
+                if valid.any():
+                    eng.on_insert(sl[valid], vecs[valid])
+            eng._pace()
 
     def _adopt(self, eng: "IVFIndex") -> None:
         """Install a staging clone's layout as the serving layout (caller
@@ -1847,15 +1943,28 @@ class IVFIndex:
             # gather rows from the store's DEVICE copy: only the [K, cmax]
             # slot map uploads; the block tensor never exists on host
             vectors_dev, ns_dev = self._gather_source()
-            kc = max(1, min(K, (1 << 21) // max(cmax, 1)))
-            (
-                self._blocks_t, self._block_ns, self._block_inv,
-                self._block_slot, self._block_keep, rsum,
-            ) = _layout_dev(
-                jnp.asarray(block_slot), vectors_dev, ns_dev,
-                jnp.asarray(self._centroids),
-                kc=kc, cdtype=self.compute_dtype,
-            )
+            if self._pace_s:
+                # paced (staging): short chunk programs + yields, so
+                # concurrent serving queries interleave with the layout
+                kc = max(1, min(K, (1 << 18) // max(cmax, 1)))
+                (
+                    self._blocks_t, self._block_ns, self._block_inv,
+                    self._block_slot, self._block_keep, rsum,
+                ) = _layout_dev_paced(
+                    jnp.asarray(block_slot), vectors_dev, ns_dev,
+                    jnp.asarray(self._centroids),
+                    kc=kc, cdtype=self.compute_dtype, pace=self._pace,
+                )
+            else:
+                kc = max(1, min(K, (1 << 21) // max(cmax, 1)))
+                (
+                    self._blocks_t, self._block_ns, self._block_inv,
+                    self._block_slot, self._block_keep, rsum,
+                ) = _layout_dev(
+                    jnp.asarray(block_slot), vectors_dev, ns_dev,
+                    jnp.asarray(self._centroids),
+                    kc=kc, cdtype=self.compute_dtype,
+                )
             # drift baseline for refresh(): mean squared residual over live
             # rows (unoccupied positions contribute zero to the sum)
             self._built_resid = float(np.asarray(rsum)) / max(n_live, 1)

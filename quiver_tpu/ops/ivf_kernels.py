@@ -86,6 +86,7 @@ def train_kmeans(
     seed: int = 0,
     vectors_dev=None,
     valid_dev=None,
+    pace=None,
 ):
     """K-means over the live rows. Returns (centroids f32[k, d],
     assign i32[n] with -1 for invalid rows). Runs Lloyd on device; empty
@@ -100,13 +101,27 @@ def train_kmeans(
     if len(live) < k:
         raise ValueError(f"need at least k={k} live rows, have {len(live)}")
     init = vectors[rng.choice(live, size=k, replace=False)].astype(np.float32)
-    cents, assign = _lloyd_iters(
+    x = (
         jnp.asarray(vectors, jnp.float32) if vectors_dev is None
-        else vectors_dev,
-        jnp.asarray(init),
-        jnp.asarray(valid, bool) if valid_dev is None else valid_dev,
-        n_iters,
+        else vectors_dev
     )
+    vdev = jnp.asarray(valid, bool) if valid_dev is None else valid_dev
+    if pace is None:
+        cents, assign = _lloyd_iters(x, jnp.asarray(init), vdev, n_iters)
+    else:
+        # paced (background maintenance): one Lloyd iteration per device
+        # program, synced + yielded between — an 8-iter single program
+        # monopolizes the chip for seconds and every serving query
+        # dispatched behind it eats that wall (bench_churn measured a 6x
+        # QPS dip across the rebuild window). One compiled 1-iter program
+        # is reused across iterations; the redundant per-call final
+        # assignment pass is the price of the bounded stall.
+        c = jnp.asarray(init)
+        for _ in range(max(n_iters - 1, 0)):
+            c, _ = _lloyd_iters(x, c, vdev, 1)
+            np.asarray(c[0, 0])  # real sync (tunnel-safe), then yield
+            pace()
+        cents, assign = _lloyd_iters(x, c, vdev, 1)
     cents = np.array(cents)  # writable copies (jax arrays view read-only)
     assign = np.array(assign)
     # fix empty clusters: seed from random live rows, steal their membership
